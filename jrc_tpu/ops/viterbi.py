@@ -1,0 +1,136 @@
+"""Batched Viterbi decoder for the K=7, rate-1/2 convolutional code.
+
+TPU-native replacement for the reference's SSE2 implementation
+(``lib/viterbi_decoder.cc:99-294``). Instead of SIMD butterflies over one
+frame, the add-compare-select recursion runs as a ``lax.scan`` over time with
+all 64 path metrics held in vector lanes and an arbitrary leading batch
+dimension (frames × symbols), which is how the VPU wants it: every step is a
+(B, 64, 2) gather + min.
+
+Design points:
+
+* unified branch metrics: the decoder consumes *channel values* ``v`` with
+  sign convention ``v > 0 ⇒ bit 1``; hard bits map to ±1 and punctured
+  (erased) positions to 0, so depuncturing (reference
+  ``lib/viterbi_decoder.cc:38-96``) is just a scatter of values into zeros —
+  soft-decision decoding falls out for free.
+* decisions are stored per step as two packed uint32 words per batch element
+  (64 states × 1 bit) instead of 64 bytes — 8× less HBM traffic for the
+  traceback tensor.
+* full traceback from the best end state (the reference zero-terminates only
+  the pre-pad tail, so the trellis does not end in state 0; argmin over final
+  metrics is the optimal truncated-sequence choice).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import CONV_POLY_A, CONV_POLY_B, MCS
+from jrc_tpu.ops.coding import depuncture
+
+N_STATES = 64
+
+
+def _parity(x: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(x)
+    for k in range(7):
+        out ^= (x >> k) & 1
+    return out
+
+
+@lru_cache(maxsize=1)
+def _trellis():
+    """Static trellis tables.
+
+    prev[s', j]  : predecessor state j∈{0,1} of next-state s'
+    sign_a/b[s', j] : ±1 expected-output signs (2·e−1) for polys 0o155/0o117
+    """
+    s_next = np.arange(N_STATES)
+    j = np.arange(2)
+    prev = (s_next[:, None] >> 1) + 32 * j[None, :]  # (64, 2)
+    full7 = (prev << 1) | (s_next[:, None] & 1)  # 7-bit register
+    e_a = _parity(full7 & CONV_POLY_A)
+    e_b = _parity(full7 & CONV_POLY_B)
+    return (
+        prev.astype(np.int32),
+        (2 * e_a - 1).astype(np.float32),
+        (2 * e_b - 1).astype(np.float32),
+    )
+
+
+def hard_to_values(bits: jax.Array) -> jax.Array:
+    """Hard bits {0,1} → channel values {−1,+1} (float32)."""
+    return (2.0 * bits.astype(jnp.float32)) - 1.0
+
+
+def viterbi_decode(values: jax.Array, n_out: int | None = None) -> jax.Array:
+    """Decode (..., 2·T) channel values → (..., T) bits.
+
+    ``values`` follow the ``v > 0 ⇒ bit 1`` convention with 0 = erasure.
+    ``n_out`` optionally truncates the returned bit count (default T).
+    """
+    prev_np, sa_np, sb_np = _trellis()
+    prev = jnp.asarray(prev_np)
+    sign_a = jnp.asarray(sa_np)
+    sign_b = jnp.asarray(sb_np)
+
+    batch_shape = values.shape[:-1]
+    n_steps = values.shape[-1] // 2
+    v = values.reshape(-1, n_steps, 2).astype(jnp.float32)  # (B, T, 2)
+    B = v.shape[0]
+
+    pm0 = jnp.full((B, N_STATES), 1e9, jnp.float32).at[:, 0].set(0.0)
+    state_weights = jnp.asarray(
+        (1 << (np.arange(N_STATES) % 32)).astype(np.uint32)
+    )
+
+    def acs(pm, v_t):
+        va = v_t[:, 0][:, None, None]
+        vb = v_t[:, 1][:, None, None]
+        # branch cost: −(2e−1)·v  (negative when the value agrees with e)
+        bm = -(sign_a[None] * va + sign_b[None] * vb)  # (B, 64, 2)
+        cand = pm[:, prev] + bm  # (B, 64, 2)
+        dec = cand[..., 1] < cand[..., 0]  # (B, 64) True ⇒ take j=1
+        new_pm = jnp.where(dec, cand[..., 1], cand[..., 0])
+        # renormalize so metrics stay bounded for arbitrarily long frames
+        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
+        # pack 64 decision bits → 2 uint32 words per batch element
+        bits = jnp.where(dec, state_weights[None], jnp.uint32(0))
+        w0 = jnp.bitwise_or.reduce(bits[:, :32], axis=-1)
+        w1 = jnp.bitwise_or.reduce(bits[:, 32:], axis=-1)
+        return new_pm, (w0, w1)
+
+    v_t = jnp.moveaxis(v, 1, 0)  # (T, B, 2)
+    pm_final, (w0s, w1s) = jax.lax.scan(acs, pm0, v_t)
+
+    end_state = jnp.argmin(pm_final, axis=-1).astype(jnp.int32)  # (B,)
+
+    def traceback(state, words):
+        w0, w1 = words  # (B,) uint32 each
+        word = jnp.where(state < 32, w0, w1)
+        j = (word >> (state % 32).astype(jnp.uint32)) & 1
+        bit = (state & 1).astype(jnp.uint8)
+        prev_state = (state >> 1) + 32 * j.astype(jnp.int32)
+        return prev_state, bit
+
+    _, bits_rev = jax.lax.scan(traceback, end_state, (w0s, w1s), reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
+    bits = bits.reshape(*batch_shape, n_steps)
+    if n_out is not None:
+        bits = bits[..., :n_out]
+    return bits
+
+
+def decode_bits(rx_bits: jax.Array, mcs: MCS, n_data_bits: int) -> jax.Array:
+    """Hard-decision decode of punctured coded bits.
+
+    Mirrors reference ``viterbi_decoder::decode`` (lib/viterbi_decoder.cc:294):
+    depuncture (erasures as 0-valued channel values) then Viterbi.
+    ``rx_bits``: (..., n_punctured) bits; returns (..., n_data_bits).
+    """
+    values = depuncture(hard_to_values(rx_bits), mcs, 2 * n_data_bits, erasure=0.0)
+    return viterbi_decode(values, n_out=n_data_bits)

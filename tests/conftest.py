@@ -1,0 +1,26 @@
+"""Test harness: force the CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware.
+
+Note: this environment's axon TPU plugin calls
+``jax.config.update("jax_platforms", "axon,cpu")`` during interpreter startup
+(sitecustomize), which overrides the JAX_PLATFORMS env var — so the config
+must be forced back to cpu *after* importing jax."""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
