@@ -1,0 +1,151 @@
+"""Synthetic channels: point-target radar scene + multipath comm model.
+
+TPU-native equivalent of ``target_simulator`` (lib/target_simulator_impl.cc)
+plus the comm-sim channel (per-antenna ULA phase shifts + path loss + AWGN +
+CFO, from examples/simulation/communication/mimo_ofdm_jrc_comm_sim.grc).
+These are the "fake backends" that close both loops without hardware.
+
+Radar model per target k and virtual element (tx, rx)
+(lib/target_simulator_impl.cc:150-385):
+  doppler   f_D = 2·v·f_c/c, applied as a time-domain phase ramp
+  delay     τ = (2R − pos_virt·sin(az))/c, applied as exp(−j2πτ(f+f_c)) in
+            the frequency domain over two-sided FFT bin frequencies
+  amplitude A = c·√RCS / ((4π)^{3/2}·R²·f_c)  (radar equation)
+  optional per-target random phase and TX→RX self-coupling.
+
+Deviation from the reference (deliberate): the reference *overwrites* the
+output per target (volk multiply writes, never accumulates —
+lib/target_simulator_impl.cc:341-369), so with >1 target only the last
+survives; we sum target contributions, which is the physically correct
+superposition.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+C_LIGHT = 299792458.0
+FOUR_PI_CUBED_SQRT = float((4 * np.pi) ** 1.5)
+
+
+@dataclass(frozen=True)
+class Targets:
+    """Static point-target scene (ranges m, velocities m/s, azimuths deg, RCS m²)."""
+
+    ranges: tuple
+    velocities: tuple
+    azimuths: tuple
+    rcs: tuple
+
+    def __len__(self):
+        return len(self.ranges)
+
+
+def virtual_positions(n_tx: int, n_rx: int, wavelength: float, spacing: float = 0.5) -> np.ndarray:
+    """(n_tx, n_rx) virtual-element positions in meters for a λ/2 ULA where
+    TX k contributes elements k·n_rx..k·n_rx+n_rx−1 (the TXk_RXs variables of
+    the radar-sim grc)."""
+    idx = np.arange(n_tx * n_rx).reshape(n_tx, n_rx)
+    return (idx * spacing * wavelength).astype(np.float32)
+
+
+def apply_targets(
+    tx_time: jax.Array,  # (n_tx, n_samp)
+    targets: Targets,
+    *,
+    sample_rate: float,
+    center_freq: float,
+    pos_virtual: np.ndarray,  # (n_tx, n_rx) meters
+    rng_key=None,  # enables per-target random phase when given
+    self_coupling_db: float | None = None,
+) -> jax.Array:
+    """Propagate TX waveforms through the target scene → (n_rx, n_samp)."""
+    n_tx, n = tx_time.shape
+    n_rx = pos_virtual.shape[1]
+    k = len(targets)
+
+    rng_t = jnp.asarray(targets.ranges, jnp.float32)
+    vel = jnp.asarray(targets.velocities, jnp.float32)
+    az = jnp.asarray(targets.azimuths, jnp.float32)
+    rcs = jnp.asarray(targets.rcs, jnp.float32)
+
+    doppler = 2.0 * vel * center_freq / C_LIGHT  # (K,)
+    ampl = C_LIGHT * jnp.sqrt(rcs) / FOUR_PI_CUBED_SQRT / rng_t**2 / center_freq
+
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+    dopp_ramp = jnp.exp(2j * jnp.pi * doppler[:, None] * t[None, :])  # (K, n)
+    if rng_key is not None:
+        phase = jax.random.uniform(rng_key, (k,), minval=0.0, maxval=2 * np.pi)
+        dopp_ramp = dopp_ramp * jnp.exp(1j * phase)[:, None]
+    dopp_ramp = dopp_ramp * ampl[:, None]
+
+    # (n_tx, K, n): Doppler-shifted TX, then to frequency domain
+    x = tx_time[:, None, :] * dopp_ramp[None, :, :]
+    X = jnp.fft.fft(x, axis=-1)
+
+    freqs = jnp.fft.fftfreq(n, d=1.0 / sample_rate).astype(jnp.float32)  # two-sided
+    # τ per (tx, rx, K)
+    tau = (
+        2.0 * rng_t[None, None, :]
+        - jnp.asarray(pos_virtual)[:, :, None] * jnp.sin(jnp.deg2rad(az))[None, None, :]
+    ) / C_LIGHT
+    shift = jnp.exp(
+        -2j * jnp.pi * tau[..., None] * (freqs + center_freq)[None, None, None, :]
+    )  # (n_tx, n_rx, K, n)
+
+    y = jnp.fft.ifft(X[:, None, :, :] * shift, axis=-1)  # (n_tx, n_rx, K, n)
+    rx = jnp.sum(y, axis=(0, 2)).astype(jnp.complex64)  # (n_rx, n)
+
+    if self_coupling_db is not None:
+        coupling = 10.0 ** (self_coupling_db / 20.0)
+        rx = rx + coupling * jnp.sum(tx_time, axis=0)[None, :]
+    return rx
+
+
+def awgn(rng_key, x: jax.Array, noise_var: float) -> jax.Array:
+    """Complex AWGN with total variance ``noise_var`` (var/2 per quadrature),
+    matching the sim graphs' analog_noise_source with amplitude √noise_var."""
+    kr, ki = jax.random.split(rng_key)
+    std = jnp.sqrt(jnp.asarray(noise_var, jnp.float32) / 2.0)
+    n = std * (
+        jax.random.normal(kr, x.shape, jnp.float32)
+        + 1j * jax.random.normal(ki, x.shape, jnp.float32)
+    )
+    return (x + n).astype(jnp.complex64)
+
+
+def thermal_noise_var(sample_rate: float, noise_figure_db: float = 5.0, temp_k: float = 290.0) -> float:
+    """kTB·NF noise variance used by the sim flowgraphs' ``noise_var``."""
+    k_boltz = 1.380649e-23
+    return k_boltz * temp_k * sample_rate * 10.0 ** (noise_figure_db / 10.0)
+
+
+def comm_channel(
+    tx_time: jax.Array,  # (n_tx, n_samp)
+    *,
+    angle_deg: float,
+    path_loss: float,
+    noise_var: float,
+    cfo: float = 0.0,  # radians/sample
+    rng_key=None,
+) -> jax.Array:
+    """Comm-sim channel: ULA phase per TX antenna at ``angle_deg``, path-loss
+    scaling, sum over antennas, CFO rotation, AWGN → (n_samp,).
+
+    Mirrors the comm-sim flowgraph: multiply_const ``exp(j·k·π·sin θ)/path_loss``
+    per antenna → add → channels_channel_model(freq_offset=cfo/2π per sample).
+    """
+    n_tx, n = tx_time.shape
+    k = jnp.arange(n_tx)
+    steer = jnp.exp(1j * jnp.pi * jnp.sin(jnp.deg2rad(jnp.asarray(angle_deg))) * k)
+    y = jnp.sum(tx_time * steer[:, None], axis=0) / path_loss
+    if cfo:
+        ramp = jnp.exp(1j * cfo * jnp.arange(n, dtype=jnp.float32))
+        y = y * ramp
+    if rng_key is not None and noise_var > 0:
+        y = awgn(rng_key, y, noise_var)
+    return y.astype(jnp.complex64)

@@ -1,0 +1,249 @@
+"""MIMO precoder: full TX frame assembly with steering.
+
+TPU-native equivalent of ``mimo_precoder`` (lib/mimo_precoder_impl.cc), the
+reference's TX core. Differences in *mechanism*, parity in *function*:
+
+* steering matrices for all subcarriers are computed in one batched
+  ``jnp.linalg.svd``/outer-product instead of a per-line Eigen loop over a
+  CSV file (lib/mimo_precoder_impl.cc:775-898);
+* the channel-estimate / radar-angle feedback arrives as in-memory arrays
+  (see models/jrc_trx.py JRCState) instead of ``chan_est.csv``/``radar_log.csv``
+  polled by mtime;
+* frame assembly is a scatter into a dense (n_sym_total, n_tx, fft_len)
+  frequency grid followed by einsum precoding — MXU-shaped.
+
+Frame layout per antenna (lib/mimo_precoder_impl.cc:271-293):
+``[sync×4 | SIG | MIMO-LTF×n_ltf | DATA×n_sym]``; legacy preamble and SIG are
+transmitted only on the first two antennas (…:342,:359).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import MCS, OFDMConfig, PacketType, RATE_FIELD
+from jrc_tpu.ops import coding, modulation
+from jrc_tpu.ops.encoder import FrameSpec
+from jrc_tpu.ops.ofdm import allocate_carriers
+
+# ---------------------------------------------------------------------------
+# SIG field
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def signal_field_symbols(spec: FrameSpec) -> np.ndarray:
+    """48 BPSK symbols of the SIG field for a frame spec (static).
+
+    Bit layout (lib/mimo_precoder_impl.cc:985-1060): 4 rate bits (MSB-first
+    nibble of rate_field), 1 packet-type bit, 12 length bits (LSB-first),
+    1 even-parity bit over the first 17, 6 zero tail; conv-coded rate-1/2
+    without scrambling; BPSK mapped.
+    """
+    rate = RATE_FIELD[spec.mcs]
+    length = spec.data_size_byte
+    bits = np.zeros(24, np.uint8)
+    bits[0:4] = [(rate >> 3) & 1, (rate >> 2) & 1, (rate >> 1) & 1, rate & 1]
+    bits[4] = spec.packet_type.sig_bit
+    for i in range(12):
+        bits[5 + i] = (length >> i) & 1
+    bits[17] = bits[:17].sum() % 2
+    coded = np.asarray(coding.conv_encode(bits))
+    return np.asarray(modulation.constellation(1))[coded].astype(np.complex64)
+
+
+def parse_signal_field_bits(bits: jax.Array):
+    """Decode 24 SIG bits → (mcs_rate_bitmap, packet_type_bit, length, ok).
+
+    Mirrors lib/mimo_ofdm_equalizer_impl.cc:650-781: parity over bits 0..16
+    must equal bit 17 and the tail must be zero.
+    """
+    bits = bits.astype(jnp.int32)
+    rate_bitmap = bits[..., 0] | (bits[..., 1] << 1) | (bits[..., 2] << 2) | (bits[..., 3] << 3)
+    ptype = bits[..., 4]
+    weights = 1 << jnp.arange(12, dtype=jnp.int32)
+    length = jnp.sum(bits[..., 5:17] * weights, axis=-1)
+    parity = jnp.sum(bits[..., :17], axis=-1) % 2
+    tail_ok = jnp.sum(bits[..., 18:24], axis=-1) == 0
+    ok = (parity == bits[..., 17]) & tail_ok
+    return rate_bitmap, ptype, length, ok
+
+
+#: received rate_bitmap value → MCS (lib/mimo_ofdm_equalizer_impl.cc:729-760)
+SIG_RATE_TO_MCS = {11: MCS.BPSK_1_2, 15: MCS.BPSK_3_4, 10: MCS.QPSK_1_2,
+                   14: MCS.QPSK_3_4, 9: MCS.QAM16_1_2, 13: MCS.QAM16_3_4}
+
+
+# ---------------------------------------------------------------------------
+# Steering
+# ---------------------------------------------------------------------------
+
+
+def fourier_matrix(n: int) -> np.ndarray:
+    """DFT precoding fallback matrix (lib/mimo_precoder_impl.cc:761-772)."""
+    k = np.arange(n)
+    return (np.exp(-2j * np.pi * np.outer(k, k) / n) / np.sqrt(n)).astype(np.complex64)
+
+
+def _q_from_h(h: jax.Array, n_tx: int, phased: bool) -> jax.Array:
+    """Steering matrix Q (..., n_tx, n_tx) from channel rows h (..., n_tx).
+
+    phased (lib/mimo_precoder_impl.cc:848-854): Q.col0 = conj(h), zero else,
+    scaled √n_tx/‖Q‖_F. SVD (…:857-861): right singular vectors of h^T with
+    the same Frobenius normalization.
+    """
+    if phased:
+        q0 = jnp.conj(h)  # (..., n_tx)
+        norm = jnp.linalg.norm(q0, axis=-1, keepdims=True)
+        scale = jnp.where(norm > 0, np.sqrt(n_tx) / norm, 0.0)
+        col0 = q0 * scale
+        q = jnp.zeros((*h.shape, n_tx), h.dtype).at[..., 0].set(col0)
+        return q
+    # SVD of the 1×n_tx matrix h^T: V spans conj(h) ⊕ null space
+    a = h[..., None, :]  # (..., 1, n_tx)
+    _, _, vh = jnp.linalg.svd(a, full_matrices=True)
+    v = jnp.conj(jnp.swapaxes(vh, -1, -2))
+    fro = jnp.linalg.norm(v, axis=(-2, -1), keepdims=True)
+    return jnp.where(fro > 0, v * np.sqrt(n_tx) / fro, 0.0)
+
+
+def steering_from_chan_est(
+    cfg: OFDMConfig, chan_est: jax.Array, phased: bool = False
+):
+    """Per-subcarrier and mean steering from an NDP channel estimate.
+
+    ``chan_est``: (fft_len, n_tx) rows in shifted order (zeros on inactive
+    carriers — the in-memory analog of chan_est.csv). Returns
+    (Q (fft_len, n_tx, n_tx), Q_mean (n_tx, n_tx)); the mean averages over
+    active carriers only (lib/mimo_precoder_impl.cc:872-893).
+    """
+    q = _q_from_h(chan_est, cfg.n_tx, phased)
+    active = jnp.asarray(cfg.active_carrier_idx)
+    h_mean = jnp.mean(chan_est[active], axis=0)
+    q_mean = _q_from_h(h_mean, cfg.n_tx, phased)
+    return q, q_mean
+
+
+def steering_from_angle(cfg: OFDMConfig, angle_deg, phased: bool = True) -> jax.Array:
+    """Radar-aided steering: synthesize the ULA vector for an angle estimate
+    (lib/mimo_precoder_impl.cc:956-959) and build the mean Q from it."""
+    i_tx = jnp.arange(cfg.n_tx)
+    h = jnp.exp(1j * jnp.pi * jnp.sin(jnp.deg2rad(angle_deg)) * i_tx).astype(
+        jnp.complex64
+    )
+    return _q_from_h(h, cfg.n_tx, phased)
+
+
+def mean_channel_angle(chan_mean: jax.Array):
+    """Debug angle estimate from the mean channel:
+    ``asin(arg(h1/h0)/π)`` in degrees (lib/mimo_precoder_impl.cc:511-527)."""
+    ratio = chan_mean[..., 1] / chan_mean[..., 0]
+    return jnp.rad2deg(jnp.arcsin(jnp.angle(ratio) / jnp.pi))
+
+
+# ---------------------------------------------------------------------------
+# Frame assembly
+# ---------------------------------------------------------------------------
+
+
+def _stream_grids(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    data_syms: jax.Array,
+    use_radar_streams: bool,
+    rng_key,
+) -> jax.Array:
+    """(n_streams, n_sym, fft_len) frequency grids: stream 0 = data+pilots,
+    streams 1.. = random QPSK/2 'radar streams' on data *and* pilot carriers
+    (lib/mimo_precoder_impl.cc:434-493)."""
+    grid0 = allocate_carriers(cfg, data_syms, pilot_row0=0)
+    if not use_radar_streams:
+        return grid0[None]
+    n_extra = cfg.n_tx - 1
+    n_sym = data_syms.shape[-2]
+    n_active = cfg.n_data_carriers + cfg.n_pilot_carriers
+    vals = jax.random.randint(rng_key, (n_extra, n_sym, n_active), 0, 4)
+    qpsk = jnp.asarray(modulation.constellation(2, tx_scale=True))
+    sym = qpsk[vals]
+    extra = jnp.zeros((n_extra, n_sym, cfg.fft_len), jnp.complex64)
+    dc = jnp.asarray(cfg.data_carrier_idx)
+    pc = jnp.asarray(cfg.pilot_carrier_idx)
+    extra = extra.at[..., dc].set(sym[..., : cfg.n_data_carriers])
+    extra = extra.at[..., pc].set(sym[..., cfg.n_data_carriers :])
+    return jnp.concatenate([grid0[None], extra], axis=0)
+
+
+def assemble_frame(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    data_syms: jax.Array,
+    *,
+    steering: jax.Array | None = None,  # (fft_len, n_tx, n_tx) per-sc Q
+    mean_steering: jax.Array | None = None,  # (n_tx, n_tx)
+    use_radar_streams: bool = False,
+    rng_key=None,
+) -> jax.Array:
+    """Build the full TX frequency grid (n_total_sym, n_tx, fft_len).
+
+    Precoding mode selection mirrors lib/mimo_precoder_impl.cc:496-532:
+    per-subcarrier ``steering`` > ``mean_steering`` > Fourier fallback.
+    NDP frames (spec.packet_type) are never precoded: MIMO-LTF mapped
+    directly, payload duplicated on the first two antennas (…:379-428).
+    """
+    n_tx = cfg.n_tx
+    n_sym = data_syms.shape[-2]
+    assert n_sym == spec.n_ofdm_sym, (n_sym, spec.n_ofdm_sym)
+    n_total = cfg.n_sync_words + 1 + cfg.n_ltf + n_sym
+    legacy_ants = min(2, n_tx)
+
+    grid = jnp.zeros((n_total, n_tx, cfg.fft_len), jnp.complex64)
+
+    # --- legacy sync preamble on first 2 antennas (…:336-350)
+    sync = jnp.asarray(cfg.sync_words_freq)  # (4, fft_len)
+    grid = grid.at[: cfg.n_sync_words, :legacy_ants, :].set(
+        jnp.broadcast_to(sync[:, None, :], (cfg.n_sync_words, legacy_ants, cfg.fft_len))
+    )
+
+    # --- SIG on first 2 antennas with pilot row 0 (…:356-372)
+    sig = jnp.asarray(signal_field_symbols(spec))
+    sig_grid = allocate_carriers(cfg, sig[None, :], pilot_row0=0)[0]
+    grid = grid.at[cfg.n_sync_words, :legacy_ants, :].set(
+        jnp.broadcast_to(sig_grid, (legacy_ants, cfg.fft_len))
+    )
+
+    ltf_rows = slice(cfg.n_sync_words + 1, cfg.n_sync_words + 1 + cfg.n_ltf)
+    data_rows = slice(cfg.n_sync_words + 1 + cfg.n_ltf, n_total)
+    x_ltf = jnp.asarray(cfg.ltf_mapped_sc_ss_sym)  # (fft_len, n_tx, n_ltf)
+
+    if spec.packet_type is PacketType.NDP:
+        # unprecoded MIMO-LTF on all antennas (…:379-388)
+        grid = grid.at[ltf_rows].set(jnp.transpose(x_ltf, (2, 1, 0)))
+        # NDP payload + pilots, unprecoded, first 2 antennas (…:393-428)
+        payload_grid = allocate_carriers(cfg, data_syms, pilot_row0=0)
+        grid = grid.at[data_rows, :legacy_ants, :].set(
+            jnp.broadcast_to(payload_grid[:, None, :], (n_sym, legacy_ants, cfg.fft_len))
+        )
+        return grid
+
+    # --- DATA: build streams and select precoder
+    streams = _stream_grids(cfg, spec, data_syms, use_radar_streams, rng_key)
+    n_streams = streams.shape[0]
+
+    if steering is not None:
+        q = steering  # (fft_len, n_tx, n_tx)
+        ltf_pre = jnp.einsum("sij,sjl->lis", q, x_ltf)  # (n_ltf, n_tx, fft_len)
+        data_pre = jnp.einsum("sij,jks->kis", q[:, :, :n_streams], streams)
+    else:
+        if mean_steering is not None:
+            qm = mean_steering
+        else:
+            qm = jnp.asarray(fourier_matrix(n_tx))
+        ltf_pre = jnp.einsum("ij,sjl->lis", qm, x_ltf)
+        data_pre = jnp.einsum("ij,jks->kis", qm[:, :n_streams], streams)
+
+    grid = grid.at[ltf_rows].set(ltf_pre)
+    grid = grid.at[data_rows].set(data_pre)
+    return grid

@@ -1,0 +1,224 @@
+"""Frame detection and synchronization.
+
+TPU-native replacement for the reference's per-sample state machines:
+
+* ``frame_detector`` (lib/frame_detector_impl.cc) — Schmidl-Cox-style STF
+  plateau detection built from a lag-16 autocorrelation over a 32-sample
+  window normalized by a 48-sample power average (the comm-sim grc wires
+  delay(fft/4) → conj·mult → moving_avg(fft/2) ÷ (1/1.5)·moving_avg(|x|²,
+  1.5·fft/2)). The SEARCH/COPY state machine becomes a parallel run-length
+  computation (associative-scan cummax), all candidate frames found in one
+  pass; coarse CFO = arg(autocorr)/(fft/4) at the trigger
+  (lib/frame_detector_impl.cc:113).
+* ``frame_sync`` (lib/frame_sync_impl.cc) — LTF matched filter over a
+  SYNC_LENGTH window, top-4 peak-pair search at lag fft_len (±1), fine CFO
+  from the peak-pair phase (…:230-285), and symbol extraction that keeps the
+  raw 2×fft_len LTF region and strips the CP of every following symbol
+  (…:175-197).
+
+Everything is batched and jit-friendly; sample-serial recursions are replaced
+by cumsum/scan formulations with identical outputs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import OFDMConfig
+
+
+def moving_sum(x: jax.Array, win: int) -> jax.Array:
+    """Trailing-window sum: out[n] = Σ_{k=0}^{win-1} x[n-k] (zeros history).
+
+    Matches GNU Radio moving-average alignment (history-padded)."""
+    c = jnp.cumsum(x, axis=-1)
+    pad = jnp.zeros((*x.shape[:-1], win), x.dtype)
+    c_shift = jnp.concatenate([pad, c[..., :-win]], axis=-1) if x.shape[-1] > win else pad[..., : x.shape[-1]]
+    return c - c_shift
+
+
+def autocorrelation(cfg: OFDMConfig, x: jax.Array):
+    """(autocorr a[n], normalized correlation cor[n]) per the detector chain.
+
+    a[n] = Σ_{k<fft/2} conj(x[n-16-k])·x[n-k];
+    cor[n] = |a[n]| / ((1/1.5)·Σ_{k<1.5·fft/2} |x[n-k]|²).
+    """
+    lag = cfg.fft_len // 4
+    win = cfg.fft_len // 2
+    pwin = int(1.5 * win)
+    xd = jnp.concatenate([jnp.zeros((*x.shape[:-1], lag), x.dtype), x[..., :-lag]], axis=-1)
+    c = jnp.conj(xd) * x
+    a = moving_sum(c, win)
+    p = moving_sum(jnp.abs(x) ** 2, pwin) / 1.5
+    cor = jnp.abs(a) / jnp.maximum(p, 1e-12)
+    return a, cor
+
+
+def _run_lengths(mask: jax.Array) -> jax.Array:
+    """Length of the current True-run ending at each position (parallel)."""
+    n = mask.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    last_false = jnp.where(mask, jnp.int32(-1), idx)
+    last_false = jax.lax.associative_scan(jnp.maximum, last_false, axis=-1)
+    return idx - last_false
+
+
+class Detections(NamedTuple):
+    """Up to max_frames candidate frame triggers in a sample block."""
+
+    start: jax.Array  # (max_frames,) int32 trigger sample index (-1 = none)
+    coarse_cfo: jax.Array  # (max_frames,) float32 rad/sample
+    valid: jax.Array  # (max_frames,) bool
+
+
+def detect_frames(
+    cfg: OFDMConfig,
+    x: jax.Array,
+    *,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    max_frames: int = 8,
+    ignore_gap: int | None = None,
+) -> Detections:
+    """Find STF plateaus in a 1-D sample block.
+
+    A trigger fires when ``min_n_peaks`` consecutive samples satisfy
+    thr < cor < 2 (the reference counts peaks within a small max distance —
+    on an STF plateau these coincide). Triggers within ``ignore_gap`` samples
+    of a previous trigger are suppressed (lib/frame_detector_impl.cc:184-188).
+    """
+    if ignore_gap is None:
+        ignore_gap = (cfg.n_sync_words + cfg.n_tx) * cfg.sym_len
+    a, cor = autocorrelation(cfg, x)
+    mask = (cor > threshold) & (cor < 2.0)
+    runs = _run_lengths(mask)
+    trigger = runs == min_n_peaks  # fires exactly once per plateau entry
+
+    n = x.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    trig_idx = jnp.where(trigger, idx, n)
+    # suppress triggers too close to the previous kept trigger with a scan
+    def keep_scan(last_kept, i):
+        is_trig = i < n
+        far = i >= last_kept + ignore_gap
+        keep = is_trig & far
+        new_last = jnp.where(keep, i, last_kept)
+        return new_last, keep
+
+    _, keep = jax.lax.scan(keep_scan, jnp.int32(-(10**9)), jnp.sort(trig_idx))
+    kept_idx = jnp.where(keep, jnp.sort(trig_idx), n)
+    order = jnp.argsort(kept_idx)
+    starts = kept_idx[order][:max_frames]
+    valid = starts < n
+    starts = jnp.where(valid, starts, -1)
+    cfo = jnp.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
+    cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)
+    return Detections(start=starts, coarse_cfo=cfo, valid=valid)
+
+
+class SyncResult(NamedTuple):
+    frame_start: jax.Array  # int32, offset into the derotated window
+    fine_cfo: jax.Array  # float32 rad/sample (derotation already per reference sign)
+    found: jax.Array  # bool: a peak pair at lag fft_len(±1) existed
+
+
+def ltf_correlate(cfg: OFDMConfig, x: jax.Array) -> jax.Array:
+    """Matched-filter correlation: corr[n] = Σ_k conj(ltf_t[k])·x[n+k]."""
+    taps = jnp.asarray(np.conj(cfg.lltf_time))  # (fft_len,)
+    n = x.shape[-1] - cfg.fft_len + 1
+    # correlation as a small dense matmul over sliding windows: (n, 64)·(64,)
+    win_idx = jnp.arange(n)[:, None] + jnp.arange(cfg.fft_len)[None, :]
+    windows = x[..., win_idx]
+    return jnp.einsum("...nk,k->...n", windows, taps)
+
+
+def search_frame_start(cfg: OFDMConfig, corr: jax.Array) -> SyncResult:
+    """Top-4 |corr|² peak-pair search at index gap fft_len (±1).
+
+    Mirrors lib/frame_sync_impl.cc:230-285 including the preference for an
+    exact-gap pair (returns immediately) over ±1 pairs (keeps last found).
+    """
+    n = corr.shape[-1]
+    mag2 = jnp.abs(corr) ** 2
+    _, top_idx = jax.lax.top_k(mag2, 4)  # descending magnitude
+    top_val = corr[top_idx]
+
+    best_start = jnp.int32(n)  # sentinel: reference uses SYNC_LENGTH
+    best_cfo = jnp.float32(0.0)
+    found = jnp.bool_(False)
+    exact_found = jnp.bool_(False)
+    for i in range(3):
+        for k in range(i + 1, 4):
+            ii, kk = top_idx[i], top_idx[k]
+            vi, vk = top_val[i], top_val[k]
+            first = jnp.where(ii > kk, vk, vi)
+            second = jnp.where(ii > kk, vi, vk)
+            diff = jnp.abs(ii - kk)
+            start = jnp.minimum(ii, kk)
+            for gap in (cfg.fft_len, cfg.fft_len - 1, cfg.fft_len + 1):
+                hit = (diff == gap) & (~exact_found)
+                cfo = jnp.angle(first * jnp.conj(second)) / gap
+                best_start = jnp.where(hit, start, best_start)
+                best_cfo = jnp.where(hit, cfo, best_cfo)
+                found = found | hit
+                if gap == cfg.fft_len:
+                    exact_found = exact_found | hit
+    return SyncResult(
+        frame_start=best_start.astype(jnp.int32),
+        fine_cfo=best_cfo.astype(jnp.float32),
+        found=found,
+    )
+
+
+def symbol_sample_offsets(cfg: OFDMConfig, n_sym: int) -> np.ndarray:
+    """(n_sym, fft_len) static sample indices relative to frame start.
+
+    Symbols 0,1 are the raw back-to-back LTF copies; symbols ≥2 skip each
+    cp_len prefix (the reference's COPY condition, lib/frame_sync_impl.cc:189).
+    """
+    offs = np.zeros((n_sym, cfg.fft_len), np.int32)
+    for s in range(n_sym):
+        if s < 2:
+            base = s * cfg.fft_len
+        else:
+            base = 2 * cfg.fft_len + (s - 2) * cfg.sym_len + cfg.cp_len
+        offs[s] = base + np.arange(cfg.fft_len)
+    return offs
+
+
+def extract_frame(
+    cfg: OFDMConfig,
+    x: jax.Array,
+    trigger: jax.Array,
+    coarse_cfo: jax.Array,
+    n_sym: int,
+    sync_length: int | None = None,
+):
+    """Full sync for one detected frame: derotate from the trigger, find the
+    LTF peak pair, apply fine derotation, gather CP-stripped symbols.
+
+    Returns (symbols (n_sym, fft_len) time-domain, total_cfo, found).
+    ``n_sym`` counts from the first LTF copy (2 LTFs + SIG + ...).
+    """
+    if sync_length is None:
+        sync_length = cfg.n_sync_words * cfg.sym_len
+    need = sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
+    n = jnp.arange(need, dtype=jnp.float32)
+    window = jax.lax.dynamic_slice_in_dim(x, trigger, need, axis=-1)
+    window = window * jnp.exp(-1j * coarse_cfo * n)
+
+    corr = ltf_correlate(cfg, window[: sync_length + cfg.fft_len - 1])
+    corr = corr[:sync_length]
+    sr = search_frame_start(cfg, corr)
+
+    # fine derotation with the reference's sign: out = in·exp(j·n·freq_offset)
+    window = window * jnp.exp(1j * sr.fine_cfo * n)
+
+    offs = jnp.asarray(symbol_sample_offsets(cfg, n_sym))
+    idx = sr.frame_start + offs
+    symbols = window[idx]
+    total_cfo = coarse_cfo - sr.fine_cfo  # tag value (lib/frame_sync_impl.cc:182-186)
+    return symbols, total_cfo, sr.found

@@ -1,0 +1,80 @@
+"""Frame detection and LTF synchronization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import MCS, OFDMConfig, PacketType
+from jrc_tpu.ops import sync, ofdm
+from jrc_tpu.ops.encoder import FrameSpec
+from jrc_tpu.models import comm_link
+
+
+def _frame_samples(cfg, seed=0, pad_front=400):
+    spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=50, packet_type=PacketType.DATA)
+    payload = jnp.zeros(50, jnp.uint8).at[0].set(2)
+    tx = comm_link.tx_frame(cfg, spec, payload, 1, pad_front=pad_front, pad_tail=200,
+                            rng_key=jax.random.key(seed))
+    # single-antenna sum (all antennas at broadside)
+    return jnp.sum(tx.samples, axis=0), spec
+
+
+def test_moving_sum_matches_numpy(rng):
+    x = rng.normal(size=50).astype(np.float32)
+    got = np.asarray(sync.moving_sum(jnp.asarray(x), 8))
+    want = np.array([x[max(0, n - 7) : n + 1].sum() for n in range(50)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_run_lengths():
+    m = jnp.asarray([0, 1, 1, 1, 0, 1, 1, 0, 0, 1], bool)
+    got = np.asarray(sync._run_lengths(m))
+    np.testing.assert_array_equal(got, [0, 1, 2, 3, 0, 1, 2, 0, 0, 1])
+
+
+def test_detect_frame_in_stf(rng):
+    cfg = OFDMConfig()
+    x, _ = _frame_samples(cfg)
+    det = sync.detect_frames(cfg, x, max_frames=4)
+    assert bool(det.valid[0])
+    # trigger must land inside the STF (frame body starts at 400)
+    assert 400 <= int(det.start[0]) < 400 + 2 * cfg.sym_len
+    assert not bool(det.valid[1])  # only one frame present
+    assert abs(float(det.coarse_cfo[0])) < 1e-3  # no CFO injected
+
+
+def test_detect_cfo_estimate(rng):
+    cfg = OFDMConfig()
+    x, _ = _frame_samples(cfg)
+    cfo = 0.003
+    n = jnp.arange(x.shape[0])
+    det = sync.detect_frames(cfg, x * jnp.exp(1j * cfo * n), max_frames=1)
+    assert bool(det.valid[0])
+    assert abs(float(det.coarse_cfo[0]) - cfo) < 2e-4
+
+
+def test_two_frames_detected(rng):
+    cfg = OFDMConfig()
+    x, _ = _frame_samples(cfg)
+    gap = jnp.zeros(1000, x.dtype)
+    xx = jnp.concatenate([x, gap, x])
+    det = sync.detect_frames(cfg, xx, max_frames=4)
+    assert bool(det.valid[0]) and bool(det.valid[1])
+    assert int(det.start[1]) - int(det.start[0]) == x.shape[0] + 1000
+    assert not bool(det.valid[2])
+
+
+def test_ltf_sync_finds_peak_pair(rng):
+    cfg = OFDMConfig()
+    x, spec = _frame_samples(cfg)
+    det = sync.detect_frames(cfg, x, max_frames=1)
+    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+    x_padded = jnp.concatenate([x, jnp.zeros(1000, x.dtype)])
+    syms, cfo, found = sync.extract_frame(cfg, x_padded, det.start[0], det.coarse_cfo[0], n_sym)
+    assert bool(found)
+    # the two LTF symbols must FFT to ltf·H with H ≈ const ⇒ symbol 0 ≈ symbol 1
+    f = np.asarray(ofdm.fft_symbols(cfg, syms))
+    active = cfg.active_carrier_idx
+    np.testing.assert_allclose(f[0][active], f[1][active], atol=1e-3)
+    # and dividing by the LTF sequence gives a flat channel
+    h = f[0][active] / cfg.lltf_freq[active]
+    assert np.std(np.abs(h)) / np.mean(np.abs(h)) < 0.01
