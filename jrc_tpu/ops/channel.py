@@ -46,10 +46,15 @@ class Targets:
 
 
 def virtual_positions(n_tx: int, n_rx: int, wavelength: float, spacing: float = 0.5) -> np.ndarray:
-    """(n_tx, n_rx) virtual-element positions in meters for a λ/2 ULA where
-    TX k contributes elements k·n_rx..k·n_rx+n_rx−1 (the TXk_RXs variables of
-    the radar-sim grc)."""
-    idx = np.arange(n_tx * n_rx).reshape(n_tx, n_rx)
+    """(n_tx, n_rx) virtual-element positions in meters for the reference's
+    λ/2 virtual ULA: TX elements spaced λ/2, RX elements spaced n_tx·λ/2, so
+    the **rx-major** pair index rx·n_tx+tx walks the array linearly — matching
+    the radar block's default rx-major channel ordering and the radar-sim
+    grc's TXk_RXs = [(2+k)/2·λ, (2+k+4)/2·λ] geometry (constant offset
+    dropped; it only adds a common phase)."""
+    tx = np.arange(n_tx)[:, None]
+    rx = np.arange(n_rx)[None, :]
+    idx = rx * n_tx + tx
     return (idx * spacing * wavelength).astype(np.float32)
 
 

@@ -1,0 +1,204 @@
+"""MIMO OFDM radar: channel-division estimation, periodogram, detection.
+
+TPU-native equivalents of the reference radar chain:
+
+* ``mimo_ofdm_radar`` (lib/mimo_ofdm_radar_impl.cc:250-315) — per-(tx,rx,sc)
+  channel estimate Ĥ = Σ_sym Y·conj(X) over the MIMO-LTF symbols (P-matrix
+  orthogonality separates TX antennas), ring-buffer background removal,
+  zero-padded output — here one einsum + a functional ring-buffer pytree.
+* the stock-FFT imaging chain (radar-sim grc): zero-padded range IFFT (×8),
+  ``matrix_transpose`` corner turn (lib/matrix_transpose_impl.cc:99-104),
+  zero-padded shifted angle FFT (×16) — fused into one batched map kernel.
+* ``range_angle_estimator`` (lib/range_angle_estimator_impl.cc:137-253) —
+  global 2-D argmax, noise power from a wrapped patch at the orthogonal angle
+  and opposite range, SNR threshold detection.
+* ``fft_peak_detect`` (lib/fft_peak_detect_impl.cc:77-111) — arg-max tone
+  peak with protected edge samples (array-alignment calibration).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import OFDMConfig
+
+
+def radar_channel_estimate(
+    x_ref: jax.Array,  # (n_tx, n_sym, fft_len) TX frequency-domain reference
+    y_rx: jax.Array,  # (n_rx, n_sym, fft_len) RX spectra (time-aligned)
+    tx_interleave: bool = False,
+) -> jax.Array:
+    """Ĥ(pair, sc) = Σ_sym Y(rx,sym,sc)·conj(X(tx,sym,sc)) → (n_tx·n_rx, fft_len).
+
+    Row order is rx-major (pair = rx·n_tx + tx) unless ``tx_interleave``
+    (lib/mimo_ofdm_radar_impl.cc:262-269).
+    """
+    h = jnp.einsum("rsf,tsf->trf", y_rx, jnp.conj(x_ref))  # (n_tx, n_rx, fft)
+    if tx_interleave:
+        return h.reshape(-1, h.shape[-1])  # tx-major
+    return jnp.swapaxes(h, 0, 1).reshape(-1, h.shape[-1])  # rx-major
+
+
+class BackgroundState(NamedTuple):
+    """Functional ring buffer of past channel estimates
+    (lib/mimo_ofdm_radar_impl.cc:276-300, boost circular_buffer record_len=8)."""
+
+    buffer: jax.Array  # (record_len, n_virt, fft_len)
+    count: jax.Array  # int32 number of valid entries
+
+
+def init_background(record_len: int, n_virt: int, fft_len: int) -> BackgroundState:
+    return BackgroundState(
+        buffer=jnp.zeros((record_len, n_virt, fft_len), jnp.complex64),
+        count=jnp.int32(0),
+    )
+
+
+def background_removal(
+    state: BackgroundState, h: jax.Array
+) -> tuple[jax.Array, BackgroundState]:
+    """Subtract the mean of buffered estimates; push the raw estimate.
+
+    Matches the reference ordering: the *current* estimate is recorded after
+    removal uses only past frames.
+    """
+    record_len = state.buffer.shape[0]
+    n_valid = jnp.minimum(state.count, record_len)
+    mean = jnp.sum(state.buffer, axis=0) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    cleaned = jnp.where(n_valid > 0, h - mean, h)
+    slot = state.count % record_len
+    new = BackgroundState(
+        buffer=state.buffer.at[slot].set(h), count=state.count + 1
+    )
+    return cleaned, new
+
+
+def range_angle_map(
+    h: jax.Array,  # (n_virt, fft_len) channel estimate (rx-major rows)
+    interp_factor_range: int = 8,
+    interp_factor_angle: int = 16,
+) -> jax.Array:
+    """Channel estimate → complex range-angle map (n_range, n_angle).
+
+    Range: zero-pad each fft_len row to fft_len·ir at the tail, IFFT
+    (unshifted — a circular spectrum shift only rotates phase, magnitudes are
+    unaffected). Angle: corner-turn, zero-pad the n_virt axis to n_virt·ia,
+    shifted FFT. Fuses radar-sim grc fft_vxx(512) → matrix_transpose →
+    fft_vxx(128, shift).
+    """
+    n_virt, fft_len = h.shape[-2], h.shape[-1]
+    n_range = fft_len * interp_factor_range
+    n_angle = n_virt * interp_factor_angle
+    hp = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, n_range - fft_len)])
+    ranges = jnp.fft.ifft(hp, axis=-1)  # (n_virt, n_range)
+    rt = jnp.swapaxes(ranges, -1, -2)  # (n_range, n_virt)
+    rtp = jnp.pad(rt, [(0, 0)] * (rt.ndim - 1) + [(0, n_angle - n_virt)])
+    return jnp.fft.fftshift(jnp.fft.fft(rtp, axis=-1), axes=-1).astype(jnp.complex64)
+
+
+class RangeAngleEstimate(NamedTuple):
+    range_m: jax.Array
+    angle_deg: jax.Array
+    power: jax.Array
+    snr_db: jax.Array
+    detected: jax.Array
+    range_idx: jax.Array
+    angle_idx: jax.Array
+
+
+def range_angle_estimate(
+    ra_map: jax.Array,  # (n_range, n_angle) complex
+    range_bins: jax.Array,
+    angle_bins: jax.Array,
+    *,
+    noise_discard_range_m: float = 2.4,
+    noise_discard_angle_deg: float = 29.0,
+    snr_threshold_db: float = 15.0,
+    power_threshold: float = 0.0,
+) -> RangeAngleEstimate:
+    """2-D peak + SNR detection (lib/range_angle_estimator_impl.cc:137-253).
+
+    Noise is measured in a wrapped patch centered at (peak_range + half the
+    range axis, orthogonal angle = peak_angle + 90° wrapped into [-90, 90)).
+    """
+    n_range, n_angle = ra_map.shape[-2], ra_map.shape[-1]
+    power = jnp.abs(ra_map) ** 2
+    flat_idx = jnp.argmax(power.reshape(*power.shape[:-2], -1), axis=-1)
+    ri = flat_idx // n_angle
+    ai = flat_idx % n_angle
+    peak_power = jnp.max(power, axis=(-2, -1))
+
+    range_bins = jnp.asarray(range_bins)
+    angle_bins = jnp.asarray(angle_bins)
+    range_val = range_bins[ri]
+    angle_val = angle_bins[ai]
+
+    # orthogonal (null) angle, wrapped to [-90, 90)
+    angle_null = angle_val + 90.0
+    angle_null = jnp.where(angle_null >= 90.0, angle_null - 180.0, angle_null)
+    null_idx = jnp.argmin(jnp.abs(angle_bins - angle_null), axis=-1)
+    null_idx = jnp.minimum(null_idx, n_angle - 2)
+
+    dr = range_bins[1] - range_bins[0]
+    discard_r = jnp.maximum((noise_discard_range_m / dr).astype(jnp.int32), 1)
+    da = angle_bins[null_idx + 1] - angle_bins[null_idx]
+    discard_a = jnp.maximum((noise_discard_angle_deg / da).astype(jnp.int32), 1)
+
+    r_off = jnp.arange(n_range)
+    a_off = jnp.arange(n_angle)
+    r_center = ri + n_range // 2
+    r_mask = (
+        jnp.abs(((r_off - r_center + n_range // 2) % n_range) - n_range // 2)
+        < discard_r
+    )
+    a_mask = (
+        jnp.abs(((a_off - null_idx + n_angle // 2) % n_angle) - n_angle // 2)
+        < discard_a
+    )
+    patch = r_mask[:, None] & a_mask[None, :]
+    n_noise = jnp.maximum(jnp.sum(patch), 1)
+    noise_power = jnp.sum(jnp.where(patch, power, 0.0)) / n_noise
+
+    snr_db = 10.0 * jnp.log10(peak_power / jnp.maximum(noise_power, 1e-30))
+    detected = (snr_db >= snr_threshold_db) & (peak_power >= power_threshold)
+    return RangeAngleEstimate(
+        range_m=range_val,
+        angle_deg=angle_val,
+        power=peak_power,
+        snr_db=snr_db,
+        detected=detected,
+        range_idx=ri,
+        angle_idx=ai,
+    )
+
+
+class PeakDetection(NamedTuple):
+    freq: jax.Array
+    phase: jax.Array
+    magnitude: jax.Array
+    detected: jax.Array
+
+
+def fft_peak_detect(
+    spectrum: jax.Array,
+    sample_rate: float,
+    *,
+    samp_protect: int = 1,
+    threshold_db: float = -60.0,
+) -> PeakDetection:
+    """Arg-max tone peak over |spectrum| with protected edge bins
+    (lib/fft_peak_detect_impl.cc:77-111); used for array phase alignment."""
+    n = spectrum.shape[-1]
+    mag = jnp.abs(spectrum)
+    idx = jnp.arange(n)
+    protect = (idx < samp_protect) | (idx >= n - samp_protect)
+    masked = jnp.where(protect, -jnp.inf, mag)
+    pk = jnp.argmax(masked, axis=-1)
+    mag_pk = jnp.take_along_axis(mag, pk[..., None], axis=-1)[..., 0]
+    phase = jnp.angle(jnp.take_along_axis(spectrum, pk[..., None], axis=-1))[..., 0]
+    freq = jnp.where(pk < n // 2, pk, pk - n) * (sample_rate / n)
+    detected = 20.0 * jnp.log10(jnp.maximum(mag_pk, 1e-30)) > threshold_db
+    return PeakDetection(freq=freq, phase=phase, magnitude=mag_pk, detected=detected)

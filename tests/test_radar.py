@@ -1,0 +1,120 @@
+"""Radar path: channel estimation, periodogram, detection (BASELINE config 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jrc_tpu.config import MCS, OFDMConfig, PacketType
+from jrc_tpu.ops import channel, radar
+from jrc_tpu.ops.encoder import FrameSpec
+from jrc_tpu.models import radar_chain
+
+CFG = OFDMConfig()
+SPEC = FrameSpec(MCS.QPSK_1_2, payload_bytes=50, packet_type=PacketType.NDP)
+PAYLOAD = jnp.zeros(50, jnp.uint8).at[0].set(1)
+
+
+def _run(targets, **kw):
+    return radar_chain.radar_frame(CFG, SPEC, PAYLOAD, targets, key=jax.random.key(0), **kw)
+
+
+@pytest.mark.parametrize("r,a", [(15.0, 20.0), (8.0, -30.0), (25.0, 0.0), (5.0, 45.0)])
+def test_single_target_position(r, a):
+    res = _run(channel.Targets((r,), (0.0,), (a,), (10.0,)))
+    est = res.estimate
+    assert bool(est.detected)
+    assert abs(float(est.range_m) - r) < 0.6  # within half a native range bin
+    assert abs(float(est.angle_deg) - a) < 2.0  # within an interp angle bin
+
+
+def test_two_targets_both_visible():
+    """The reference overwrites per-target (only the last visible); we sum —
+    both targets must appear in the map."""
+    res = _run(channel.Targets((8.0, 22.0), (0.0, 0.0), (-30.0, 35.0), (10.0, 10.0)))
+    p = np.abs(np.asarray(res.ra_map)) ** 2
+    rb = np.linspace(0, channel.C_LIGHT * 64 / (2 * CFG.sample_rate), 512)
+    ab = CFG.angle_axis(16)
+    r1 = np.argmin(np.abs(rb - 8.0)); a1 = np.argmin(np.abs(ab - (-30.0)))
+    r2 = np.argmin(np.abs(rb - 22.0)); a2 = np.argmin(np.abs(ab - 35.0))
+    peak = p.max()
+    # both local neighborhoods carry the expected power: target 2 is ~ (8/22)^4
+    # of target 1 by the radar equation (amplitude ∝ 1/R²)
+    assert p[r1 - 4 : r1 + 5, a1 - 3 : a1 + 4].max() > 0.5 * peak
+    ratio = p[r2 - 4 : r2 + 5, a2 - 3 : a2 + 4].max() / peak
+    expect = (8.0 / 22.0) ** 4
+    assert 0.3 * expect < ratio < 3.0 * expect
+
+
+def test_detection_threshold_no_target_noise_only():
+    """Pure-noise input must not produce a >=15 dB detection."""
+    key = jax.random.key(3)
+    h = jax.random.normal(key, (8, 64), jnp.float32) + 1j * jax.random.normal(
+        jax.random.key(4), (8, 64), jnp.float32
+    )
+    ra = radar.range_angle_map(h.astype(jnp.complex64))
+    rb = jnp.asarray(np.linspace(0, 76.8, 512), jnp.float32)
+    ab = jnp.asarray(CFG.angle_axis(16), jnp.float32)
+    est = radar.range_angle_estimate(ra, rb, ab)
+    assert not bool(est.detected)
+
+
+def test_background_removal_suppresses_static_clutter():
+    clutter = channel.Targets((12.0,), (0.0,), (10.0,), (100.0,))
+    bg = radar.init_background(8, CFG.n_virtual, CFG.fft_len)
+    # fill background with the static scene
+    for i in range(4):
+        res = radar_chain.radar_frame(
+            CFG, SPEC, PAYLOAD, clutter, key=jax.random.key(i), background=bg
+        )
+        bg = res.background
+    res = radar_chain.radar_frame(
+        CFG, SPEC, PAYLOAD, clutter, key=jax.random.key(9), background=bg
+    )
+    # after removal the static target power collapses
+    cleaned_peak = float(jnp.max(jnp.abs(res.ra_map)))
+    res_nobg = radar_chain.radar_frame(CFG, SPEC, PAYLOAD, clutter, key=jax.random.key(9))
+    raw_peak = float(jnp.max(jnp.abs(res_nobg.ra_map)))
+    assert cleaned_peak < 0.05 * raw_peak
+
+
+def test_channel_estimate_orthogonality():
+    """With the P-matrix LTFs, a single-TX-path channel separates cleanly:
+    per-(tx,rx) estimates reproduce per-antenna phases."""
+    res = _run(channel.Targets((10.0,), (0.0,), (25.0,), (10.0,)))
+    h = np.asarray(res.chan)  # (8 rx-major, 64)
+    # phase progression across the virtual array at the active carriers
+    active = CFG.active_carrier_idx
+    ph = np.angle(np.sum(h[1:, active] * np.conj(h[:-1, active]), axis=1))
+    expect = np.pi * np.sin(np.deg2rad(25.0))
+    np.testing.assert_allclose(ph, expect, atol=0.15)
+
+
+def test_fft_peak_detect_tone():
+    n = 256
+    fs = 1000.0
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * 125.0 * t)
+    spec = jnp.fft.fft(jnp.asarray(x))
+    pk = radar.fft_peak_detect(spec, fs, samp_protect=2)
+    assert bool(pk.detected)
+    assert abs(float(pk.freq) - 125.0) < fs / n
+    # negative frequency side
+    x2 = np.exp(-2j * np.pi * 200.0 * t)
+    pk2 = radar.fft_peak_detect(jnp.fft.fft(jnp.asarray(x2)), fs, samp_protect=2)
+    assert abs(float(pk2.freq) + 200.0) < fs / n
+
+
+def test_doppler_phase_progression():
+    """A moving target imposes the expected Doppler phase ramp across time."""
+    v = 30.0
+    tx = jnp.ones((1, 4000), jnp.complex64)
+    pos = channel.virtual_positions(1, 1, channel.C_LIGHT / CFG.center_freq)
+    rx = channel.apply_targets(
+        tx, channel.Targets((10.0,), (v,), (0.0,), (10.0,)),
+        sample_rate=CFG.sample_rate, center_freq=CFG.center_freq, pos_virtual=pos,
+    )
+    y = np.asarray(rx[0])
+    f_d = 2 * v * CFG.center_freq / channel.C_LIGHT
+    # interior samples only: the circular delay wraps the block edges
+    inst = np.angle(y[1000:3000] * np.conj(y[999:2999])).mean() * CFG.sample_rate / (2 * np.pi)
+    assert abs(inst - f_d) < 0.05 * f_d + 1.0
