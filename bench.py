@@ -1,0 +1,135 @@
+"""Benchmark: IQ samples/s/chip through the full JRC RX chain.
+
+Builds a long IQ capture containing many complete frames (TX generated on the
+CPU backend), then times the jitted block RX pipeline — frame detection,
+LTF sync, CP-strip/FFT, channel estimation/equalization, Viterbi decode, CRC —
+on the accelerator. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE north-star target of
+100 Msamples/s/chip through the full RX chain (the reference's own operating
+point is 125 Msps real-time on a host CPU for the streaming graph).
+
+Axon-backend notes: all compute is inside a single jit; only int32/float32
+reductions are fetched to host (complex transfers are unimplemented there).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
+    """TX side on the CPU backend → numpy capture with frames + trailing halo."""
+    import jax
+    import jax.numpy as jnp
+
+    from jrc_tpu.models import comm_link, streaming
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import make_payload
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        payload = jnp.asarray(make_payload(spec, bytes([2]) + b"bench frame"))
+        tx_samples = jax.jit(
+            lambda p: comm_link.tx_frame(cfg, spec, p, 1).samples
+        )(payload)
+        frame = np.asarray(
+            jax.jit(
+                lambda s: channel.comm_channel(
+                    s, angle_deg=0.0, path_loss=5.0, noise_var=0.0
+                )
+            )(tx_samples)
+        )
+    rng = np.random.default_rng(0)
+    cap = (
+        rng.normal(0, 1e-4, (n_samples, 2)).view(np.complex128)[:, 0]
+    ).astype(np.complex64)
+    pos, n_frames = 500, 0
+    while pos + len(frame) < n_samples - 100:
+        cap[pos : pos + len(frame)] += frame
+        pos += len(frame) + gap
+        n_frames += 1
+    halo = streaming.frame_window_samples(cfg, spec) + cfg.fft_len
+    cap = np.concatenate([cap, np.zeros(halo, np.complex64)])
+    return cap, n_frames
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the axon remote compiler is slow and has
+    # variable latency; cache executables across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.models import streaming
+    from jrc_tpu.ops.encoder import FrameSpec
+
+    # One compiled kernel for a fixed-size block; long captures stream through
+    # it block-by-block (the axon remote compiler scales poorly past ~2^17-
+    # sample graphs; the steady-state rate is what matters).
+    block_len = 1 << 17
+    n_blocks = 8
+    cfg = OFDMConfig()
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
+    cap, n_frames = build_capture(cfg, spec, block_len)
+    max_frames = 64
+
+    dev = jax.devices()[0]
+    x = jax.device_put(cap, dev)
+
+    def counts(xx):
+        res = streaming.rx_block(
+            cfg, spec, xx, block_len, max_frames=max_frames
+        )
+        return (
+            jnp.sum(res.valid.astype(jnp.int32)),
+            jnp.sum(res.crc_ok.astype(jnp.int32)),
+        )
+
+    f = jax.jit(counts)
+    t0 = time.time()
+    nv, nc = jax.block_until_ready(f(x))
+    compile_s = time.time() - t0
+    n_valid, n_crc = int(np.asarray(nv)), int(np.asarray(nc))
+    ok = n_valid == n_frames and n_crc == n_frames
+
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        for _b in range(n_blocks):
+            out = f(x)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_iter
+    n_samples = block_len * n_blocks
+    sps = n_samples / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "jrc_rx_chain_throughput",
+                "value": round(sps, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / 100e6, 3),
+                "frames_per_capture": n_frames,
+                "frames_decoded": n_valid,
+                "crc_ok": n_crc,
+                "correct": ok,
+                "compile_s": round(compile_s, 1),
+                "device": str(dev),
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

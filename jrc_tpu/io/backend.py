@@ -1,0 +1,119 @@
+"""TRX backends: the framework's hardware boundary.
+
+The reference talks to two Ettus N320s through ``usrp_mimo_trx``
+(lib/usrp_mimo_trx_impl.cc): timed 4-channel TX bursts + scheduled 2-channel
+RX with a fixed TX→RX latency (``num_delay_samps``), which time-aligns the RX
+frame with the TX frame — the property the radar correlator relies on.
+
+Here that contract is an abstract interface with two software backends:
+
+* :class:`SimTrx` — closes the loop through the synthetic target scene +
+  comm channel (the ``target_simulator`` role);
+* :class:`FileTrx` — replays/records interleaved complex64 IQ captures, for
+  offline processing of real recordings.
+
+A hardware backend would implement the same ``burst()`` contract against a
+radio driver; the DSP chain above it is unchanged.
+"""
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class BurstResult:
+    """RX samples time-aligned to the TX frame start (delay compensated)."""
+
+    rx: np.ndarray  # (n_rx, n_samples)
+    rx_time: float  # capture timestamp (s)
+
+
+class TrxBackend(abc.ABC):
+    """Timed burst TX + aligned RX (the usrp_mimo_trx work() contract:
+    lib/usrp_mimo_trx_impl.cc:287-388)."""
+
+    @abc.abstractmethod
+    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
+        ...
+
+    def close(self):
+        pass
+
+
+class SimTrx(TrxBackend):
+    """Loopback through the synthetic channel (radar echo and/or comm path)."""
+
+    def __init__(self, cfg, targets=None, *, noise_var: float = 0.0, seed: int = 0,
+                 self_coupling_db: float | None = None):
+        import jax
+
+        from jrc_tpu.ops import channel
+
+        self.cfg = cfg
+        self.targets = targets
+        self.noise_var = noise_var
+        self.self_coupling_db = self_coupling_db
+        self._key = jax.random.PRNGKey(seed)
+        self._channel = channel
+        self._t = 0.0
+
+    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
+        import jax
+        import jax.numpy as jnp
+
+        ch = self._channel
+        cfg = self.cfg
+        tx = jnp.asarray(tx_samples)
+        if self.targets is not None:
+            pos = ch.virtual_positions(cfg.n_tx, cfg.n_rx,
+                                       ch.C_LIGHT / cfg.center_freq)
+            rx = ch.apply_targets(
+                tx, self.targets, sample_rate=cfg.sample_rate,
+                center_freq=cfg.center_freq, pos_virtual=pos,
+                self_coupling_db=self.self_coupling_db,
+            )
+        else:
+            rx = jnp.zeros((cfg.n_rx, tx.shape[-1]), jnp.complex64)
+        if self.noise_var > 0:
+            self._key, k = jax.random.split(self._key)
+            rx = ch.awgn(k, rx, self.noise_var)
+        t = self._t
+        self._t += tx.shape[-1] / cfg.sample_rate
+        out = np.asarray(rx)
+        if n_rx_samples is not None:
+            out = out[:, :n_rx_samples]
+        return BurstResult(rx=out, rx_time=t)
+
+
+class FileTrx(TrxBackend):
+    """Record TX bursts and replay RX captures from complex64 files."""
+
+    def __init__(self, cfg, rx_path: str | None = None, tx_path: str | None = None):
+        self.cfg = cfg
+        self.rx_path = rx_path
+        self.tx_path = tx_path
+        self._rx_data = None
+        self._pos = 0
+        if rx_path is not None:
+            flat = np.fromfile(rx_path, np.complex64)
+            self._rx_data = flat.reshape(cfg.n_rx, -1, order="F") if flat.size else None
+        self._t = 0.0
+
+    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
+        n = n_rx_samples or tx_samples.shape[-1]
+        if self.tx_path is not None:
+            with open(self.tx_path, "ab") as fh:
+                np.asarray(tx_samples, np.complex64).T.tofile(fh)
+        if self._rx_data is None:
+            rx = np.zeros((self.cfg.n_rx, n), np.complex64)
+        else:
+            end = min(self._pos + n, self._rx_data.shape[1])
+            rx = np.zeros((self.cfg.n_rx, n), np.complex64)
+            rx[:, : end - self._pos] = self._rx_data[:, self._pos : end]
+            self._pos = end
+        t = self._t
+        self._t += n / self.cfg.sample_rate
+        return BurstResult(rx=rx, rx_time=t)

@@ -1,0 +1,86 @@
+"""Batched block RX: process a long IQ capture containing many frames.
+
+This is the data-plane kernel of the streaming executor: one call takes a
+block of samples and produces decoded frames + link stats for every frame
+whose *trigger* lies inside the block. Frames may extend past the block end
+into a halo region appended by the caller (the sharded executor in
+jrc_tpu/parallel/streaming.py fetches the halo from the right-neighbor device
+via collective permute) — the exactly-once ownership rule that replaces the
+reference's sample-serial detector/sync state machines
+(lib/frame_detector_impl.cc, lib/frame_sync_impl.cc).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import OFDMConfig
+from jrc_tpu.ops import decoder, equalizer, ofdm, sync
+from jrc_tpu.ops.encoder import FrameSpec
+
+
+class BlockRxResult(NamedTuple):
+    payload: jax.Array  # (max_frames, payload_bytes)
+    crc_ok: jax.Array  # (max_frames,)
+    sig_ok: jax.Array  # (max_frames,)
+    snr_db: jax.Array  # (max_frames,)
+    start: jax.Array  # (max_frames,) trigger index within the block
+    valid: jax.Array  # (max_frames,) frame slot used
+
+
+def frame_window_samples(cfg: OFDMConfig, spec: FrameSpec) -> int:
+    """Samples needed from a trigger to process one frame (sync window +
+    raw LTF region + CP-stripped symbols + correlator slack)."""
+    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+    sync_length = cfg.n_sync_words * cfg.sym_len
+    return sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
+
+
+def left_history_samples(cfg: OFDMConfig) -> int:
+    """Samples of left-neighbor history needed so a plateau that begins in the
+    previous block is seen with its true run length (no re-trigger): the STF
+    region plus the autocorrelation/power windows."""
+    return 2 * cfg.sym_len + 2 * cfg.fft_len
+
+
+def rx_block(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    x: jax.Array,  # (left_hist + block_len + halo,) samples
+    block_len: int,
+    *,
+    own_lo: int = 0,  # ownership window [own_lo, own_lo + block_len)
+    max_frames: int = 8,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
+) -> BlockRxResult:
+    """Detect and decode every frame whose trigger lies in the ownership
+    window; ``start`` is reported relative to ``own_lo``."""
+    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+    det = sync.detect_frames(
+        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+    )
+    owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
+    starts = jnp.where(owned, det.start, 0)
+
+    def one_frame(trigger, cfo):
+        syms_t, total_cfo, found = sync.extract_frame(cfg, x, trigger, cfo, n_sym)
+        grid = ofdm.fft_symbols(cfg, syms_t)
+        eq = equalizer.equalize_frame(cfg, spec, grid, total_cfo, estimator=estimator)
+        dec = decoder.decode_frame(spec, eq.z, soft=soft)
+        return dec.payload, dec.crc_ok & found, eq.sig_ok, eq.snr_legacy
+
+    payload, crc_ok, sig_ok, snr = jax.vmap(one_frame)(starts, det.coarse_cfo)
+    return BlockRxResult(
+        payload=payload,
+        crc_ok=crc_ok & owned,
+        sig_ok=sig_ok & owned,
+        snr_db=snr,
+        start=jnp.where(owned, det.start - own_lo, -1),
+        valid=owned,
+    )

@@ -51,7 +51,13 @@ def signal_field_symbols(spec: FrameSpec) -> np.ndarray:
     for i in range(12):
         bits[5 + i] = (length >> i) & 1
     bits[17] = bits[:17].sum() % 2
-    coded = np.asarray(coding.conv_encode(bits))
+    # static precompute: pure numpy so no device work happens at trace time
+    coded = np.zeros(48, np.uint8)
+    state = 0
+    for i, b in enumerate(bits):
+        state = ((state << 1) & 0x7E) | int(b)
+        coded[2 * i] = bin(state & 0o155).count("1") % 2
+        coded[2 * i + 1] = bin(state & 0o117).count("1") % 2
     return np.asarray(modulation.constellation(1))[coded].astype(np.complex64)
 
 

@@ -100,18 +100,19 @@ def detect_frames(
     n = x.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     trig_idx = jnp.where(trigger, idx, n)
-    # suppress triggers too close to the previous kept trigger with a scan
-    def keep_scan(last_kept, i):
-        is_trig = i < n
-        far = i >= last_kept + ignore_gap
-        keep = is_trig & far
-        new_last = jnp.where(keep, i, last_kept)
-        return new_last, keep
+    # pull the K earliest candidate triggers (K small), then run the
+    # near-trigger suppression scan over only those K — keeps the sequential
+    # part O(max_frames), not O(n_samples)
+    k_cand = max_frames * 4
+    cand = -jax.lax.top_k(-trig_idx, k_cand)[0]  # K smallest, ascending
 
-    _, keep = jax.lax.scan(keep_scan, jnp.int32(-(10**9)), jnp.sort(trig_idx))
-    kept_idx = jnp.where(keep, jnp.sort(trig_idx), n)
-    order = jnp.argsort(kept_idx)
-    starts = kept_idx[order][:max_frames]
+    def keep_scan(last_kept, i):
+        keep = (i < n) & (i >= last_kept + ignore_gap)
+        return jnp.where(keep, i, last_kept), keep
+
+    _, keep = jax.lax.scan(keep_scan, jnp.int32(-(10**9)), cand)
+    kept_idx = jnp.where(keep, cand, n)
+    starts = jnp.sort(kept_idx)[:max_frames]
     valid = starts < n
     starts = jnp.where(valid, starts, -1)
     cfo = jnp.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
