@@ -1,0 +1,166 @@
+"""Native host runtime: C++ SPSC IQ ring buffer + overlapped block framer.
+
+The TPU-native counterpart of GNU Radio's C++ runtime layer (thread-per-block
+scheduler over single-writer circular buffers, SURVEY §1 L0). The shared
+library is built on first import with g++ (cached by source mtime); a pure
+numpy fallback keeps the framework functional without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CC_DIR = os.path.join(os.path.dirname(__file__), "cc")
+_SRC = os.path.join(_CC_DIR, "jrc_runtime.cc")
+_SO = os.path.join(_CC_DIR, "libjrc_runtime.so")
+
+_lib = None
+_lib_err: str | None = None
+_build_lock = threading.Lock()
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load_library():
+    """Load (building if needed) the native runtime; None on failure."""
+    global _lib, _lib_err
+    if _lib is not None or _lib_err is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None or _lib_err is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+            lib.jrc_ring_create.restype = ctypes.c_void_p
+            lib.jrc_ring_create.argtypes = [ctypes.c_size_t]
+            lib.jrc_ring_destroy.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring_capacity.restype = ctypes.c_size_t
+            lib.jrc_ring_capacity.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring_available.restype = ctypes.c_size_t
+            lib.jrc_ring_available.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring_dropped.restype = ctypes.c_uint64
+            lib.jrc_ring_dropped.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring_push.restype = ctypes.c_size_t
+            lib.jrc_ring_push.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+            lib.jrc_ring_pop_block.restype = ctypes.c_int
+            lib.jrc_ring_pop_block.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
+            lib.jrc_mean_power.restype = ctypes.c_float
+            lib.jrc_mean_power.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+            _lib = lib
+        except (subprocess.CalledProcessError, OSError) as e:
+            _lib_err = str(e)
+    return _lib
+
+
+def _as_float_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class IQRing:
+    """SPSC complex64 ring buffer with overlapped block pop.
+
+    ``pop_block`` returns ``[left_hist | block_len | halo]`` complex samples —
+    exactly the layout the streaming RX kernel consumes (left history for
+    plateau run-length continuity, right halo for frame straddles). A numpy
+    fallback is used when the native library is unavailable.
+    """
+
+    def __init__(self, capacity: int):
+        self._lib = load_library()
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.jrc_ring_create(capacity))
+            if not self._h:
+                raise MemoryError("jrc_ring_create failed")
+            self.capacity = int(self._lib.jrc_ring_capacity(self._h))
+        else:  # numpy fallback (single-threaded semantics)
+            self.capacity = 1
+            while self.capacity < capacity:
+                self.capacity *= 2
+            self._buf = np.zeros(self.capacity, np.complex64)
+            self._head = 0
+            self._pos = 0
+            self._dropped = 0
+            self._h = None
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    def push(self, samples: np.ndarray) -> int:
+        x = np.ascontiguousarray(samples, np.complex64)
+        if self._h is not None:
+            return int(self._lib.jrc_ring_push(
+                self._h, _as_float_ptr(x.view(np.float32)), len(x)))
+        free = self.capacity - (self._head - self._pos)
+        n = min(len(x), free)
+        self._dropped += len(x) - n
+        idx = self._head % self.capacity
+        first = min(self.capacity - idx, n)
+        self._buf[idx : idx + first] = x[:first]
+        if n > first:
+            self._buf[: n - first] = x[first:n]
+        self._head += n
+        return n
+
+    def available(self) -> int:
+        if self._h is not None:
+            return int(self._lib.jrc_ring_available(self._h))
+        return self._head - self._pos
+
+    def dropped(self) -> int:
+        if self._h is not None:
+            return int(self._lib.jrc_ring_dropped(self._h))
+        return self._dropped
+
+    def pop_block(self, block_len: int, halo: int, left_hist: int) -> np.ndarray | None:
+        n_out = left_hist + block_len + halo
+        out = np.empty(n_out, np.complex64)
+        if self._h is not None:
+            ok = self._lib.jrc_ring_pop_block(
+                self._h, _as_float_ptr(out.view(np.float32)),
+                block_len, halo, left_hist)
+            return out if ok else None
+        if self._head - self._pos < block_len + halo:
+            return None
+        for i in range(n_out):
+            pos = self._pos - left_hist + i
+            out[i] = self._buf[pos % self.capacity] if pos >= 0 else 0
+        self._pos += block_len
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.jrc_ring_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def mean_power(samples: np.ndarray) -> float:
+    """Fast host-side mean |x|² (squelch helper)."""
+    x = np.ascontiguousarray(samples, np.complex64)
+    lib = load_library()
+    if lib is not None:
+        return float(lib.jrc_mean_power(_as_float_ptr(x.view(np.float32)), len(x)))
+    return float(np.mean(np.abs(x) ** 2)) if len(x) else 0.0
