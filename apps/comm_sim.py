@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Communication simulation app — mirrors
+examples/simulation/communication/mimo_ofdm_jrc_comm_sim.grc.
+
+Closed-loop TX→channel→RX over a frame schedule with PER/SNR tracking, the
+deliberate CFO injection, NDP channel sounding, and selectable steering.
+
+    python apps/comm_sim.py --frames 20 --snr-db 22 --mcs QPSK_3_4 --steering svd
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--mcs", default="QPSK_3_4")
+    p.add_argument("--payload-bytes", type=int, default=100)
+    p.add_argument("--snr-db", type=float, default=25.0)
+    p.add_argument("--angle", type=float, default=15.0)
+    p.add_argument("--path-loss", type=float, default=10.0)
+    p.add_argument("--cfo", type=float, default=0.02,
+                   help="CFO in cycles/fft_len (the grc's freq_offset)")
+    p.add_argument("--steering", choices=["none", "phased", "svd"], default="none")
+    p.add_argument("--ndp-every", type=int, default=5,
+                   help="insert an NDP sounding frame every N frames")
+    p.add_argument("--estimator", choices=["ls", "sta"], default="ls")
+    p.add_argument("--soft", action="store_true", help="soft-decision Viterbi")
+    p.add_argument("--comm-log", default="comm_log.csv")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.models import comm_link
+    from jrc_tpu.ops import decoder as dec_ops
+    from jrc_tpu.ops import precoder
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+    from jrc_tpu.utils.logging import CommLog
+
+    cfg = OFDMConfig()
+    data_spec = FrameSpec(MCS[args.mcs], payload_bytes=args.payload_bytes,
+                          packet_type=PacketType.DATA)
+    ndp_spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=24, packet_type=PacketType.NDP)
+    payload = jnp.asarray(make_payload(data_spec, bytes([2]) + b"comm sim payload"))
+    ndp_payload = jnp.asarray(make_payload(ndp_spec, bytes([1])))
+    cfo = args.cfo * 2 * np.pi / cfg.fft_len
+    log = CommLog(args.comm_log)
+    stats = dec_ops.init_stats()
+    mean_steering = None
+    seed = 1
+
+    for i in range(args.frames):
+        is_ndp = args.ndp_every > 0 and i % args.ndp_every == args.ndp_every - 1 \
+            and args.steering != "none"
+        spec = ndp_spec if is_ndp else data_spec
+        pl = ndp_payload if is_ndp else payload
+        res = comm_link.loopback(
+            cfg, spec, pl, key=jax.random.PRNGKey(i), angle_deg=args.angle,
+            path_loss=args.path_loss, snr_db=args.snr_db, cfo=cfo,
+            scrambler_seed=seed, estimator=args.estimator, soft=args.soft,
+            mean_steering=None if is_ndp else mean_steering,
+        )
+        seed = seed % 127 + 1
+        crc = bool(np.asarray(res.decoded.crc_ok))
+        snr = float(np.asarray(res.eq.snr_legacy))
+        snr_d = float(np.asarray(res.eq.snr_data))
+        if is_ndp and bool(np.asarray(res.eq.sig_ok)) and args.steering != "none":
+            _, mean_steering = precoder.steering_from_chan_est(
+                cfg, res.eq.chan_est_full, phased=args.steering == "phased")
+            print(f"frame {i}: NDP sounding -> steering refreshed ({args.steering})")
+            continue
+        stats = dec_ops.update_stats(stats, jnp.float32(crc))
+        per = float(np.asarray(dec_ops.per_percent(stats)))
+        log.log_frame(crc, int(spec.packet_type), snr, snr_d, per)
+        print(f"frame {i}: crc={crc} snr={snr:.1f} dB snr_data={snr_d:.1f} dB per={per:.1f}%")
+    print(f"log -> {args.comm_log}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
