@@ -1,0 +1,194 @@
+"""SIG-driven dynamic receive: decode frames whose MCS / length / type are
+discovered from the SIG field at runtime, like the reference RX.
+
+The reference equalizer+decoder are fully dynamic — `decode_signal_field`
+re-parameterizes the state machine per frame (lib/mimo_ofdm_equalizer_impl.cc:
+650-781, lib/stream_decoder_impl.cc:129-172). Under XLA everything must be
+static-shaped, so this module compiles one program that covers the whole MCS
+× length envelope:
+
+* symbols are extracted up to a static ``max_n_sym`` bound and masked by the
+  SIG-derived symbol count;
+* demod → depuncture → Viterbi runs once per MCS branch under ``lax.switch``
+  (each branch has its own static geometry sized for ``max_payload``), with
+  out-of-frame positions erased so the shared Viterbi treats them as
+  zero-information;
+* the CRC runs over a traced byte count.
+
+LS estimation only (the reference's default); decision-directed STA tracking
+needs the MCS inside the scan and stays on the static-spec path.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrc_tpu.config import MCS, OFDMConfig, PacketType, mcs_tables
+from jrc_tpu.ops import coding, equalizer, modulation, ofdm, sync
+from jrc_tpu.ops.precoder import SIG_RATE_TO_MCS
+from jrc_tpu.ops.viterbi import viterbi_decode, hard_to_values
+
+
+def max_symbols(max_payload: int, n_data_carriers: int = 48) -> int:
+    """Worst-case DATA symbol count over all MCS (BPSK-1/2 ⇒ n_dbps=24)."""
+    return math.ceil((16 + 8 * (max_payload + 4) + 6) / (n_data_carriers // 2))
+
+
+#: SIG rate bitmap → MCS index table (0..15; invalid → 0 with ok=False)
+_RATE_LUT = np.zeros(16, np.int32)
+for bitmap, mcs in SIG_RATE_TO_MCS.items():
+    _RATE_LUT[bitmap] = int(mcs)
+_RATE_VALID = np.zeros(16, bool)
+for bitmap in SIG_RATE_TO_MCS:
+    _RATE_VALID[bitmap] = True
+
+
+class DynamicFrame(NamedTuple):
+    payload: jax.Array  # (max_payload,) uint8, valid up to payload_len
+    payload_len: jax.Array  # bytes (without CRC)
+    crc_ok: jax.Array
+    mcs: jax.Array  # int32 MCS index
+    packet_type_bit: jax.Array  # 0=NDP, 1=DATA
+    n_ofdm_sym: jax.Array
+    sig_ok: jax.Array
+    snr_db: jax.Array
+
+
+def frame_geometry(mcs_idx, data_size_byte, n_data_carriers: int = 48):
+    """Traced packet math (reference lib/utils.cc:26-53): n_ofdm_sym,
+    n_data_bits from a traced MCS index and byte count."""
+    _, _, n_dbps = (jnp.asarray(t) for t in mcs_tables(n_data_carriers))
+    dbps = n_dbps[mcs_idx]
+    bits = 16 + 8 * data_size_byte + 6
+    n_sym = (bits + dbps - 1) // dbps
+    return n_sym, n_sym * dbps
+
+
+def decode_payload_dynamic(
+    cfg: OFDMConfig,
+    z: jax.Array,  # (max_n_sym, 48) equalized symbols (masked beyond frame)
+    mcs_idx: jax.Array,
+    data_size_byte: jax.Array,
+    max_payload: int,
+):
+    """lax.switch over the 6 MCS: demod → depuncture → Viterbi → descramble.
+
+    Returns (payload bytes (max_payload+4,), crc_ok).
+    """
+    max_bytes = max_payload + 4
+
+    def branch(mcs: MCS):
+        from jrc_tpu.config import MCSParams
+
+        mp = MCSParams(mcs)
+        branch_max_sym = math.ceil((16 + 8 * max_bytes + 6) / mp.n_dbps)
+        branch_max_bits = branch_max_sym * mp.n_dbps
+
+        def run(z_in, n_bytes):
+            n_sym, n_data_bits = frame_geometry(jnp.int32(int(mcs)), n_bytes)
+            zz = z_in[:branch_max_sym].reshape(-1)
+            vals = modulation.hard_decision(zz, mcs)
+            rx_bits = coding.merge_symbols(vals, mp.n_bpsc)
+            values = coding.depuncture(
+                hard_to_values(rx_bits), mcs, 2 * branch_max_bits, erasure=0.0
+            )
+            # erase positions beyond this frame's true coded extent
+            pos = jnp.arange(2 * branch_max_bits)
+            values = jnp.where(pos < 2 * n_data_bits, values, 0.0)
+            decoded = viterbi_decode(values, n_out=branch_max_bits)
+            descrambled = coding.descramble(decoded)
+            data_bits = descrambled[16 : 16 + 8 * max_bytes]
+            return coding.bits_to_bytes(data_bits)
+
+        return run
+
+    branches = [branch(m) for m in MCS]
+    pdu = jax.lax.switch(
+        jnp.clip(mcs_idx, 0, len(MCS) - 1), branches, z, data_size_byte
+    )
+    crc_ok = coding.crc32_check_residue(pdu, n_valid=data_size_byte)
+    return pdu, crc_ok
+
+
+def rx_frame_dynamic(
+    cfg: OFDMConfig,
+    x: jax.Array,  # sample stream (padded: trigger + max window must fit)
+    trigger: jax.Array,
+    coarse_cfo: jax.Array,
+    *,
+    max_payload: int = 256,
+) -> DynamicFrame:
+    """Sync + equalize + decode one frame with SIG-discovered parameters."""
+    max_n_sym = max_symbols(max_payload)
+    n_sym_total = 2 + 1 + cfg.n_ltf + max_n_sym
+
+    syms_t, total_cfo, _found = sync.extract_frame(
+        cfg, x, trigger, coarse_cfo, n_sym_total
+    )
+    grid = ofdm.fft_symbols(cfg, syms_t)
+    grid = equalizer.sampling_offset_compensate(cfg, grid, total_cfo)
+
+    h_legacy, snr_db = equalizer.legacy_channel_estimate(cfg, grid[0], grid[1])
+
+    # SIG
+    ref0 = jnp.asarray(cfg.pilot_symbols)[0]
+    beta, _ = equalizer.common_phase_error(cfg, grid[2], h_legacy, ref0)
+    y_sig = grid[2] * jnp.exp(-1j * beta)
+    didx = jnp.asarray(cfg.data_carrier_idx)
+    z_sig = y_sig[didx] / h_legacy[didx]
+    rate_bitmap, ptype, length, sig_ok = equalizer.decode_sig(cfg, z_sig)
+    mcs_idx = jnp.asarray(_RATE_LUT)[jnp.clip(rate_bitmap, 0, 15)]
+    sig_ok = sig_ok & jnp.asarray(_RATE_VALID)[jnp.clip(rate_bitmap, 0, 15)]
+    length = jnp.clip(length, 4, max_payload + 4)
+    n_sym, _ = frame_geometry(mcs_idx, length)
+
+    # MIMO-LTF: both estimates, runtime-selected by packet type
+    y_ltf = grid[3 : 3 + cfg.n_ltf]
+    h_eff = equalizer.effective_channel_estimate(cfg, y_ltf)
+
+    # data equalization over the max envelope with a masked scan:
+    y_data = grid[3 + cfg.n_ltf :]
+    pidx = jnp.asarray(cfg.pilot_carrier_idx)
+    sched = jnp.asarray(cfg.pilot_symbols)
+    rows = jnp.arange(max_n_sym) % sched.shape[0]
+    refs = sched[rows]
+    is_data_frame = ptype == 1
+
+    def step(carry, xs):
+        sig_sum, noise_sum, count = carry
+        y, ref, k = xs
+        active_sym = k < n_sym
+        chan = jnp.where(is_data_frame, h_eff, h_legacy)
+        beta_k, est = equalizer.common_phase_error(cfg, y, chan, ref)
+        y = y * jnp.exp(-1j * beta_k)
+        w = active_sym.astype(jnp.float32)
+        sig_sum = sig_sum + w * jnp.sum(jnp.abs(est) ** 2)
+        noise_sum = noise_sum + w * jnp.sum(jnp.abs(est - y[pidx]) ** 2)
+        count = count + jnp.where(active_sym, cfg.n_pilot_carriers, 0)
+        csi = jnp.abs(chan[didx]) ** 2 + noise_sum / jnp.maximum(count, 1)
+        z_mmse = y[didx] * jnp.conj(chan[didx]) / csi
+        z_zf = y[didx] / chan[didx]
+        z = jnp.where(is_data_frame, z_mmse, z_zf)
+        return (sig_sum, noise_sum, count), jnp.where(active_sym, z, 0.0)
+
+    (_, _, _), z = jax.lax.scan(
+        step,
+        (jnp.float32(0), jnp.float32(0), jnp.int32(0)),
+        (y_data, refs, jnp.arange(max_n_sym)),
+    )
+
+    pdu, crc_ok = decode_payload_dynamic(cfg, z, mcs_idx, length, max_payload)
+    return DynamicFrame(
+        payload=pdu[: max_payload],
+        payload_len=length - 4,
+        crc_ok=crc_ok & sig_ok,
+        mcs=mcs_idx,
+        packet_type_bit=ptype,
+        n_ofdm_sym=n_sym,
+        sig_ok=sig_ok,
+        snr_db=snr_db,
+    )

@@ -1,0 +1,78 @@
+"""SIG-driven dynamic RX: one compiled program decodes any MCS/length."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jrc_tpu.config import MCS, OFDMConfig, PacketType
+from jrc_tpu.ops import channel, dynamic_rx, sync
+from jrc_tpu.ops.encoder import FrameSpec, make_payload
+from jrc_tpu.models import comm_link
+
+CFG = OFDMConfig()
+MAXP = 128
+
+
+def _stream(mcs, payload_bytes, msg, seed=0, snr_db=30.0):
+    spec = FrameSpec(mcs, payload_bytes=payload_bytes, packet_type=PacketType.DATA)
+    payload = jnp.asarray(make_payload(spec, msg))
+    tx = comm_link.tx_frame(CFG, spec, payload, 1 + seed % 127,
+                            pad_front=400, pad_tail=200)
+    wave = channel.comm_channel(tx.samples, angle_deg=0.0, path_loss=5.0, noise_var=0.0)
+    x = np.asarray(wave)
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        p = np.mean(np.abs(x) ** 2)
+        nv = p / 10 ** (snr_db / 10)
+        x = x + np.sqrt(nv / 2) * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    # pad to cover the max dynamic window
+    need = 5000 + dynamic_rx.max_symbols(MAXP) * CFG.sym_len
+    x = np.concatenate([x, np.zeros(max(0, need - len(x)), np.complex64)])
+    return jnp.asarray(x.astype(np.complex64)), payload
+
+
+def _rx(x):
+    det = sync.detect_frames(CFG, x, max_frames=1)
+    return dynamic_rx.rx_frame_dynamic(
+        CFG, x, jnp.maximum(det.start[0], 0), det.coarse_cfo[0], max_payload=MAXP
+    )
+
+
+@pytest.mark.parametrize("mcs,nbytes", [
+    (MCS.BPSK_1_2, 40), (MCS.QPSK_3_4, 100), (MCS.QAM16_1_2, 77), (MCS.QAM16_3_4, 128),
+])
+def test_dynamic_decode_various_mcs(mcs, nbytes):
+    msg = bytes([2]) + bytes(range(1, min(nbytes, 200)))
+    x, payload = _stream(mcs, nbytes, msg[:nbytes])
+    out = _rx(x)
+    assert bool(out.sig_ok)
+    assert int(out.mcs) == int(mcs)
+    assert int(out.payload_len) == nbytes
+    assert bool(out.crc_ok)
+    got = np.asarray(out.payload)[:nbytes]
+    np.testing.assert_array_equal(got, np.asarray(payload))
+
+
+def test_one_jitted_program_covers_all_mcs():
+    """The same compiled function must decode different MCS/lengths."""
+    f = jax.jit(_rx)
+    for mcs, nbytes in [(MCS.QPSK_1_2, 33), (MCS.QAM16_3_4, 90)]:
+        x, payload = _stream(mcs, nbytes, bytes([2]) + b"x" * (nbytes - 1), seed=3)
+        out = f(x)
+        assert bool(out.crc_ok), mcs
+        assert int(out.mcs) == int(mcs)
+        np.testing.assert_array_equal(np.asarray(out.payload)[:nbytes], np.asarray(payload))
+
+
+def test_corrupted_sig_rejected():
+    x, _ = _stream(MCS.QPSK_1_2, 50, bytes([2]) + b"y" * 49, snr_db=None)
+    # blast the SIG symbol region with noise: SIG is 3rd symbol after LTFs
+    x = np.array(x)
+    det = sync.detect_frames(CFG, jnp.asarray(x), max_frames=1)
+    t = int(det.start[0])
+    rng = np.random.default_rng(0)
+    sig_region = slice(t + 400, t + 600)
+    x[sig_region] += 10.0 * (rng.normal(size=200) + 1j * rng.normal(size=200))
+    out = _rx(jnp.asarray(x))
+    # either parity fails or CRC fails — never a false positive
+    assert not bool(out.crc_ok)
