@@ -73,43 +73,48 @@ def main():
     from jrc_tpu.models import streaming
     from jrc_tpu.ops.encoder import FrameSpec
 
-    # One compiled kernel for a fixed-size block; long captures stream through
-    # it block-by-block (the axon remote compiler scales poorly past ~2^17-
-    # sample graphs; the steady-state rate is what matters).
-    block_len = 1 << 17
-    n_blocks = 8
+    # One small compiled rx_block body streamed over the capture with
+    # lax.scan — keeps the program tiny for the remote compiler while the
+    # data volume is large.
+    block_len = 1 << 15
+    n_blocks = 32
+    n_samples = block_len * n_blocks
     cfg = OFDMConfig()
     spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
-    cap, n_frames = build_capture(cfg, spec, block_len)
-    max_frames = 64
+    cap, n_frames = build_capture(cfg, spec, n_samples)
+    max_frames = 12  # ≥ frames per 32k block at the injection spacing
 
     dev = jax.devices()[0]
     x = jax.device_put(cap, dev)
 
     def counts(xx):
-        res = streaming.rx_block(
-            cfg, spec, xx, block_len, max_frames=max_frames
+        res = streaming.scan_rx(
+            cfg, spec, xx, block_len, n_blocks,
+            max_frames_per_block=max_frames,
         )
-        return (
-            jnp.sum(res.valid.astype(jnp.int32)),
-            jnp.sum(res.crc_ok.astype(jnp.int32)),
-        )
+        # (1,1) float32: scalar and int transfers are unimplemented on some
+        # TPU runtimes
+        return jnp.stack(
+            [
+                jnp.sum(res.valid.astype(jnp.float32)),
+                jnp.sum(res.crc_ok.astype(jnp.float32)),
+            ]
+        ).reshape(1, 2)
 
     f = jax.jit(counts)
     t0 = time.time()
-    nv, nc = jax.block_until_ready(f(x))
+    out0 = jax.block_until_ready(f(x))
     compile_s = time.time() - t0
-    n_valid, n_crc = int(np.asarray(nv)), int(np.asarray(nc))
+    host = np.asarray(out0)
+    n_valid, n_crc = int(host[0, 0]), int(host[0, 1])
     ok = n_valid == n_frames and n_crc == n_frames
 
     n_iter = 10
     t0 = time.time()
     for _ in range(n_iter):
-        for _b in range(n_blocks):
-            out = f(x)
+        out = f(x)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / n_iter
-    n_samples = block_len * n_blocks
     sps = n_samples / dt
 
     print(

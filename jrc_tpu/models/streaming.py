@@ -84,3 +84,49 @@ def rx_block(
         start=jnp.where(owned, det.start - own_lo, -1),
         valid=owned,
     )
+
+
+def scan_rx(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    x: jax.Array,  # (n_blocks·block_len + halo,) samples
+    block_len: int,
+    n_blocks: int,
+    *,
+    max_frames_per_block: int = 8,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+) -> BlockRxResult:
+    """Sequentially stream ``n_blocks`` fixed-size blocks through ONE compiled
+    rx_block body (``lax.scan``) — small program, arbitrarily long capture.
+
+    This is the single-device analog of the sharded executor: the same
+    [left-history | block | halo] window semantics, the ownership rule, and
+    exactly-once frame decode; the sharded version distributes the scan axis
+    over the mesh instead.
+    """
+    halo = frame_window_samples(cfg, spec) + cfg.fft_len
+    left_hist = left_history_samples(cfg)
+    assert x.shape[-1] >= n_blocks * block_len + halo
+    xp = jnp.concatenate([jnp.zeros(left_hist, x.dtype), x])
+
+    def body(_, b):
+        start = b * block_len
+        blk = jax.lax.dynamic_slice_in_dim(
+            xp, start, left_hist + block_len + halo
+        )
+        res = rx_block(
+            cfg, spec, blk, block_len, own_lo=left_hist,
+            max_frames=max_frames_per_block, threshold=threshold,
+            min_n_peaks=min_n_peaks,
+        )
+        out = res._replace(
+            start=jnp.where(res.valid, res.start + start, -1)
+        )
+        return None, out
+
+    _, results = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    # (n_blocks, max_frames, ...) → flatten the frame-slot axis
+    return BlockRxResult(*[
+        r.reshape(-1, *r.shape[2:]) for r in results
+    ])

@@ -166,6 +166,33 @@ def depuncture(bits: jax.Array, mcs: MCS, n_coded: int, erasure=0) -> jax.Array:
     return out.at[..., keep].set(bits)
 
 
+@lru_cache(maxsize=None)
+def _interleave_perm(n_cbps: int, n_bpsc: int) -> np.ndarray:
+    """802.11-style two-step interleaver permutation (reference
+    lib/utils.cc:251-275). out[k] = in[second[first[k]]]."""
+    s = max(n_bpsc // 2, 1)
+    j = np.arange(n_cbps)
+    first = s * (j // s) + (j + (16 * j // n_cbps)) % s
+    i = np.arange(n_cbps)
+    second = 16 * i - (n_cbps - 1) * (16 * i // n_cbps)
+    return second[first].astype(np.int32)
+
+
+def interleave(bits: jax.Array, n_cbps: int, n_bpsc: int, reverse: bool = False) -> jax.Array:
+    """Per-symbol block interleaver. Present for parity: the reference ships
+    this but never enables it (lib/stream_encoder_impl.cc:183-184 commented
+    out; no deinterleave at lib/stream_decoder_impl.cc:267)."""
+    perm = _interleave_perm(n_cbps, n_bpsc)
+    n_sym = bits.shape[-1] // n_cbps
+    b = bits.reshape(*bits.shape[:-1], n_sym, n_cbps)
+    if reverse:
+        inv = np.argsort(perm).astype(np.int32)
+        out = b[..., jnp.asarray(inv)]
+    else:
+        out = b[..., jnp.asarray(perm)]
+    return out.reshape(*bits.shape)
+
+
 def depuncture_mask(mcs: MCS, n_coded: int) -> np.ndarray:
     """Boolean mask (n_coded,) of positions carrying real channel bits."""
     m = np.zeros(n_coded, bool)

@@ -155,6 +155,18 @@ def mean_channel_angle(chan_mean: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+def assemble_siso_frame(
+    cfg: OFDMConfig, data_syms: jax.Array, pilot_row0: int = 0
+) -> jax.Array:
+    """Legacy SISO carrier allocator — ``ofdm_frame_generator`` parity
+    (lib/ofdm_frame_generator_impl.cc): sync words + data/pilot mapping, one
+    antenna, no SIG/MIMO-LTF. (n_sym, 48) → (n_sync+n_sym, fft_len).
+    Superseded by :func:`assemble_frame` in the JRC graphs."""
+    sync = jnp.asarray(cfg.sync_words_freq)
+    payload = allocate_carriers(cfg, data_syms, pilot_row0=pilot_row0)
+    return jnp.concatenate([sync, payload], axis=-2)
+
+
 def _stream_grids(
     cfg: OFDMConfig,
     spec: FrameSpec,

@@ -99,6 +99,16 @@ def range_angle_map(
     return jnp.fft.fftshift(jnp.fft.fft(rtp, axis=-1), axes=-1).astype(jnp.complex64)
 
 
+def corner_turn(vectors: jax.Array, interp_factor: int = 1) -> jax.Array:
+    """Standalone matrix_transpose parity op (lib/matrix_transpose_impl.cc:69-104):
+    (n_vec, vec_len) → (vec_len, n_vec·interp_factor) with tail zero-padding.
+    The fused :func:`range_angle_map` is the production path."""
+    n_vec = vectors.shape[-2]
+    t = jnp.swapaxes(vectors, -1, -2)
+    pad = n_vec * interp_factor - n_vec
+    return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, pad)])
+
+
 class RangeAngleEstimate(NamedTuple):
     range_m: jax.Array
     angle_deg: jax.Array
