@@ -116,7 +116,7 @@ def sharded_rx(
         out_specs=(
             P("time"), P("time"), P("time"), P("time"), P("time"), P(), P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     jitted = jax.jit(fn)
     sharding = NamedSharding(mesh, P("time"))
