@@ -67,11 +67,15 @@ def hard_to_values(bits: jax.Array) -> jax.Array:
     return (2.0 * bits.astype(jnp.float32)) - 1.0
 
 
-def viterbi_decode(values: jax.Array, n_out: int | None = None) -> jax.Array:
+def viterbi_decode(
+    values: jax.Array, n_out: int | None = None, unroll: int = 8
+) -> jax.Array:
     """Decode (..., 2·T) channel values → (..., T) bits.
 
     ``values`` follow the ``v > 0 ⇒ bit 1`` convention with 0 = erasure.
     ``n_out`` optionally truncates the returned bit count (default T).
+    ``unroll`` amortizes per-step loop overhead over several trellis steps
+    (the scan body is tiny; dispatch dominates on TPU otherwise).
     """
     prev_np, sa_np, sb_np = _trellis()
     prev = jnp.asarray(prev_np)
@@ -105,7 +109,7 @@ def viterbi_decode(values: jax.Array, n_out: int | None = None) -> jax.Array:
         return new_pm, (w0, w1)
 
     v_t = jnp.moveaxis(v, 1, 0)  # (T, B, 2)
-    pm_final, (w0s, w1s) = jax.lax.scan(acs, pm0, v_t)
+    pm_final, (w0s, w1s) = jax.lax.scan(acs, pm0, v_t, unroll=unroll)
 
     end_state = jnp.argmin(pm_final, axis=-1).astype(jnp.int32)  # (B,)
 
@@ -117,7 +121,9 @@ def viterbi_decode(values: jax.Array, n_out: int | None = None) -> jax.Array:
         prev_state = (state >> 1) + 32 * j.astype(jnp.int32)
         return prev_state, bit
 
-    _, bits_rev = jax.lax.scan(traceback, end_state, (w0s, w1s), reverse=True)
+    _, bits_rev = jax.lax.scan(
+        traceback, end_state, (w0s, w1s), reverse=True, unroll=unroll
+    )
     bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
     bits = bits.reshape(*batch_shape, n_steps)
     if n_out is not None:
