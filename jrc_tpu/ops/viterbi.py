@@ -131,6 +131,122 @@ def viterbi_decode(
     return bits
 
 
+def viterbi_decode_chunked(
+    values: jax.Array,
+    n_out: int | None = None,
+    chunk_len: int = 128,
+) -> jax.Array:
+    """Chunk-parallel Viterbi: identical output to :func:`viterbi_decode`,
+    ~4·L+2·T/L sequential steps instead of 2·T.
+
+    The trellis is cut into C chunks of L steps. Min-plus transfer matrices
+    per chunk (computed with (B,C,64,64) lanes), a short scan combines them
+    into per-chunk entry metrics, ACS re-runs inside all chunks in parallel
+    to record decisions, backpointer maps compose within chunks to give
+    exit→entry state maps, and a C-step scan pins the survivor path's chunk
+    boundary states before a final parallel within-chunk traceback. Trades
+    ~32× more VPU work for ~L× fewer sequential dispatches — the right trade
+    for long frames on TPU (the reference's SSE2 decoder is sample-serial,
+    lib/viterbi_decoder.cc:99-294).
+    """
+    prev_np, sa_np, sb_np = _trellis()
+    prev = jnp.asarray(prev_np)  # (64, 2)
+    sign_a = jnp.asarray(sa_np)
+    sign_b = jnp.asarray(sb_np)
+
+    batch_shape = values.shape[:-1]
+    t_steps = values.shape[-1] // 2
+    L = chunk_len
+    C = -(-t_steps // L)
+    pad = C * L - t_steps
+    v = values.reshape(-1, t_steps, 2).astype(jnp.float32)
+    B = v.shape[0]
+    if pad:
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))  # zero = erasure
+
+    # branch metrics bm[t, b, s', j]
+    va = v[..., 0]
+    vb = v[..., 1]
+    bm = -(sign_a[None, None] * va[..., None, None]
+           + sign_b[None, None] * vb[..., None, None])  # (B, C·L, 64, 2)
+    bm = bm.reshape(B, C, L, N_STATES, 2)
+    bm_l = jnp.moveaxis(bm, 2, 0)  # (L, B, C, 64, 2)
+
+    inf = jnp.float32(1e9)
+
+    # ---- phase A: per-chunk transfer matrices (B, C, 64_entry, 64_exit)
+    eye0 = jnp.where(jnp.eye(N_STATES, dtype=bool), 0.0, inf)
+    m0 = jnp.broadcast_to(eye0, (B, C, N_STATES, N_STATES))
+
+    def a_step(m, bm_t):
+        # m[..., i, s]; new[..., i, s'] = min_j m[..., i, prev[s', j]] + bm_t[..., s', j]
+        cand = m[..., prev] + bm_t[:, :, None, :, :]  # (B, C, 64, 64, 2)
+        new = jnp.min(cand, axis=-1)
+        return new - jnp.min(new, axis=(-2, -1), keepdims=True), None
+
+    m_chunks, _ = jax.lax.scan(a_step, m0, bm_l)
+
+    # ---- phase B: chunk entry metrics
+    pm0 = jnp.full((B, N_STATES), inf).at[:, 0].set(0.0)
+
+    def b_step(pm, m_c):  # m_c (B, 64, 64)
+        entry = pm
+        nxt = jnp.min(pm[:, :, None] + m_c, axis=1)
+        nxt = nxt - jnp.min(nxt, axis=-1, keepdims=True)
+        return nxt, entry
+
+    pm_final, entries = jax.lax.scan(b_step, pm0, jnp.moveaxis(m_chunks, 1, 0))
+    entries = jnp.moveaxis(entries, 0, 1)  # (B, C, 64)
+
+    # ---- phase C: in-chunk ACS from entry metrics, recording decisions
+    def c_step(pm, bm_t):  # pm (B, C, 64)
+        cand = pm[..., prev] + bm_t  # (B, C, 64, 2)
+        dec = cand[..., 1] < cand[..., 0]
+        new = jnp.where(dec, cand[..., 1], cand[..., 0])
+        new = new - jnp.min(new, axis=-1, keepdims=True)
+        return new, dec
+
+    _, decs = jax.lax.scan(c_step, entries, bm_l)  # decs (L, B, C, 64) bool
+
+    # ---- phase D/E: compose backpointer maps within chunks (exit → entry)
+    id_map = jnp.broadcast_to(jnp.arange(N_STATES)[None, None, :], (B, C, N_STATES))
+
+    def e_step(maps, dec_t):
+        p = (jnp.arange(N_STATES)[None, None, :] >> 1) + 32 * dec_t.astype(jnp.int32)
+        new = jnp.take_along_axis(p, maps, axis=-1)
+        return new, None
+
+    exit_to_entry, _ = jax.lax.scan(e_step, id_map, decs, reverse=True)
+
+    # chunk boundary states, sequential (C steps): exit of chunk c
+    end_state = jnp.argmin(pm_final, axis=-1).astype(jnp.int32)  # (B,)
+
+    def bound_step(exit_next, maps_c):  # maps_c (B, 64)
+        entry = jnp.take_along_axis(maps_c, exit_next[:, None], axis=-1)[:, 0]
+        return entry, exit_next
+
+    _, exits = jax.lax.scan(
+        bound_step, end_state, jnp.moveaxis(exit_to_entry, 1, 0), reverse=True
+    )  # exits (C, B): exit state of each chunk
+
+    # ---- phase F: parallel within-chunk traceback
+    exits_bc = jnp.moveaxis(exits, 0, 1)  # (B, C)
+
+    def f_step(state, dec_t):  # state (B, C)
+        d = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
+        bit = (state & 1).astype(jnp.uint8)
+        prev_state = (state >> 1) + 32 * d.astype(jnp.int32)
+        return prev_state, bit
+
+    _, bits_rev = jax.lax.scan(f_step, exits_bc, decs, reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, -1)  # (B, C, L)
+    bits = bits.reshape(B, C * L)[:, :t_steps]
+    bits = bits.reshape(*batch_shape, t_steps)
+    if n_out is not None:
+        bits = bits[..., :n_out]
+    return bits
+
+
 def decode_bits(rx_bits: jax.Array, mcs: MCS, n_data_bits: int) -> jax.Array:
     """Hard-decision decode of punctured coded bits.
 

@@ -53,3 +53,14 @@ def test_long_frame(rng):
     """Metrics renormalization keeps long frames stable (max payload scale)."""
     bits = rng.integers(0, 2, 4096).astype(np.uint8)
     np.testing.assert_array_equal(_roundtrip(bits, MCS.QPSK_1_2), bits)
+
+
+def test_chunked_matches_vanilla(rng):
+    """viterbi_decode_chunked is bit-identical to the sequential decoder."""
+    for T, B, L in [(200, 1, 64), (576, 4, 128), (1531, 2, 100)]:
+        bits = rng.integers(0, 2, (B, T)).astype(np.uint8)
+        coded_arr = np.asarray(coding.conv_encode(bits)).astype(np.float32)
+        vals = 2 * coded_arr - 1 + rng.normal(0, 0.5, coded_arr.shape).astype(np.float32)
+        v1 = np.asarray(viterbi.viterbi_decode(vals, n_out=T))
+        v2 = np.asarray(viterbi.viterbi_decode_chunked(vals, n_out=T, chunk_len=L))
+        np.testing.assert_array_equal(v1, v2)
