@@ -64,3 +64,15 @@ def test_chunked_matches_vanilla(rng):
         v1 = np.asarray(viterbi.viterbi_decode(vals, n_out=T))
         v2 = np.asarray(viterbi.viterbi_decode_chunked(vals, n_out=T, chunk_len=L))
         np.testing.assert_array_equal(v1, v2)
+
+
+def test_pallas_kernel_matches_vanilla(rng):
+    """Pallas ACS (interpret mode) is bit-identical to the XLA scan."""
+    from jrc_tpu.ops import viterbi_pallas
+
+    bits = rng.integers(0, 2, (3, 300)).astype(np.uint8)
+    coded_arr = np.asarray(coding.conv_encode(bits)).astype(np.float32)
+    vals = 2 * coded_arr - 1 + rng.normal(0, 0.4, coded_arr.shape).astype(np.float32)
+    v1 = np.asarray(viterbi.viterbi_decode(vals, n_out=300))
+    v2 = np.asarray(viterbi_pallas.viterbi_decode_pallas(vals, n_out=300, interpret=True))
+    np.testing.assert_array_equal(v1, v2)
