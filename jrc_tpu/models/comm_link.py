@@ -14,12 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig, PacketType
-from jrc_tpu.ops import channel, decoder, encoder, equalizer, ofdm, precoder, sync
+from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, equalizer, ofdm, precoder, sync
 
 
 class TxFrame(NamedTuple):
-    samples: jax.Array  # (n_tx, n_samples) time domain
-    grid: jax.Array  # (n_sym_total, n_tx, fft_len) frequency domain (pre-IFFT)
+    samples: cx.CArray  # (n_tx, n_samples) time domain
+    grid: cx.CArray  # (n_sym_total, n_tx, fft_len) frequency domain (pre-IFFT)
 
 
 def tx_frame(
@@ -46,7 +46,7 @@ def tx_frame(
         use_radar_streams=use_radar_streams,
         rng_key=rng_key,
     )
-    per_ant = jnp.swapaxes(grid, 0, 1)  # (n_tx, n_sym, fft_len)
+    per_ant = grid.swapaxes(0, 1)  # (n_tx, n_sym, fft_len)
     t = ofdm.ofdm_modulate(cfg, per_ant)  # (n_tx, n_samples)
     if pad_front or pad_tail:
         t = ofdm.zero_pad(t, pad_front, pad_tail)
@@ -76,6 +76,7 @@ def rx_chain(
     The frame geometry is fixed by ``spec`` (the SIG decode is still run and
     returned for verification, as the reference gates on it).
     """
+    samples = cx.from_complex(samples)
     n_frame_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym  # from first LTF copy
     det = sync.detect_frames(
         cfg, samples, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=1
@@ -132,11 +133,11 @@ def loopback(
         cfo=cfo,
     )
     if snr_db is not None:
-        sig_pow = jnp.mean(jnp.abs(clean) ** 2)
+        sig_pow = jnp.mean(cx.abs2(clean))
         noise_var = sig_pow / (10.0 ** (snr_db / 10.0))
         rx = channel.awgn(k_ch, clean, noise_var)
     else:
         rx = clean
     # guard tail so dynamic_slice in extract_frame never clips
-    rx = jnp.concatenate([rx, jnp.zeros(2 * cfg.n_sync_words * cfg.sym_len, rx.dtype)])
+    rx = cx.concatenate([rx, cx.zeros(2 * cfg.n_sync_words * cfg.sym_len)], axis=-1)
     return rx_chain(cfg, spec, rx, estimator=estimator, soft=soft)

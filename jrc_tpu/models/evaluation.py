@@ -16,7 +16,7 @@ import numpy as np
 
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import comm_link
-from jrc_tpu.ops import channel, decoder, encoder, equalizer, ofdm, sync
+from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, equalizer, ofdm, sync
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -29,7 +29,7 @@ class LinkPoint(NamedTuple):
 
 def _loopback_once(cfg, spec, payload, tx_wave, key, noise_var, estimator, soft):
     rx = channel.awgn(key, tx_wave, noise_var)
-    rx = jnp.concatenate([rx, jnp.zeros(2 * cfg.n_sync_words * cfg.sym_len, rx.dtype)])
+    rx = cx.concatenate([rx, cx.zeros(2 * cfg.n_sync_words * cfg.sym_len)], axis=-1)
     res = comm_link.rx_chain(cfg, spec, rx, estimator=estimator, soft=soft)
     bit_errors = jnp.sum(
         coding_bit_errors(res.decoded.payload, payload)
@@ -68,7 +68,7 @@ def link_curve(
     clean = channel.comm_channel(
         tx.samples, angle_deg=angle_deg, path_loss=path_loss, noise_var=0.0, cfo=cfo
     )
-    sig_pow = float(jnp.mean(jnp.abs(clean) ** 2))
+    sig_pow = float(jnp.mean(cx.abs2(clean)))
 
     run = jax.jit(
         jax.vmap(

@@ -24,14 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig, PacketType
-from jrc_tpu.ops import channel, decoder, encoder, ofdm, precoder, radar
+from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, ofdm, precoder, radar
 from jrc_tpu.models import comm_link
 
 
 class JRCState(NamedTuple):
     """Cross-frame feedback state (the in-memory checkpoint; replaces CSVs)."""
 
-    chan_est: jax.Array  # (fft_len, n_tx) last NDP estimate
+    chan_est: cx.CArray  # (fft_len, n_tx) last NDP estimate
     chan_valid: jax.Array  # bool
     radar_angle: jax.Array  # deg, last detected target angle
     radar_valid: jax.Array  # bool
@@ -41,7 +41,7 @@ class JRCState(NamedTuple):
 
 def init_state(cfg: OFDMConfig, record_len: int = 8) -> JRCState:
     return JRCState(
-        chan_est=jnp.zeros((cfg.fft_len, cfg.n_tx), jnp.complex64),
+        chan_est=cx.zeros((cfg.fft_len, cfg.n_tx)),
         chan_valid=jnp.bool_(False),
         radar_angle=jnp.float32(0.0),
         radar_valid=jnp.bool_(False),
@@ -64,7 +64,7 @@ def select_steering(
     Per-subcarrier steering applies only when not smoothing and not
     radar-aided (…:598-607); otherwise a single mean matrix is used.
     """
-    q_dft = jnp.asarray(precoder.fourier_matrix(cfg.n_tx))
+    q_dft = cx.from_complex(precoder.fourier_matrix(cfg.n_tx))
     q_sc, q_mean_chan = precoder.steering_from_chan_est(
         cfg, state.chan_est, phased=phased_steering
     )
@@ -72,17 +72,17 @@ def select_steering(
         q_radar = precoder.steering_from_angle(
             cfg, state.radar_angle, phased=phased_steering
         )
-        mean_q = jnp.where(
+        mean_q = cx.where(
             state.radar_valid,
             q_radar,
-            jnp.where(state.chan_valid, q_mean_chan, q_dft),
+            cx.where(state.chan_valid, q_mean_chan, q_dft),
         )
         return None, mean_q
-    mean_q = jnp.where(state.chan_valid, q_mean_chan, q_dft)
+    mean_q = cx.where(state.chan_valid, q_mean_chan, q_dft)
     if smoothing:
         return None, mean_q
-    per_sc = jnp.where(
-        state.chan_valid, q_sc, jnp.broadcast_to(q_dft, q_sc.shape)
+    per_sc = cx.where(
+        state.chan_valid, q_sc, cx.broadcast_to(q_dft, q_sc.shape)
     )
     return per_sc, mean_q
 
@@ -158,7 +158,7 @@ def jrc_step(
     # window to the frame start — drop the front padding before demodulation
     n_sym_total = tx.grid.shape[0]
     y = ofdm.ofdm_demodulate(cfg, echo[..., pad_front:], n_sym_total)
-    x_ref = jnp.swapaxes(tx.grid, 0, 1)
+    x_ref = tx.grid.swapaxes(0, 1)
     n_pre = cfg.n_sync_words + 1
     sl = slice(n_pre, n_pre + cfg.n_ltf)
     h_radar = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
@@ -178,20 +178,20 @@ def jrc_step(
         noise_var=0.0, cfo=0.0,
     )
     if comm_noise_var is None:
-        sig_pow = jnp.mean(jnp.abs(rx_wave) ** 2)
+        sig_pow = jnp.mean(cx.abs2(rx_wave))
         nv = sig_pow / 10.0 ** (comm_snr_db / 10.0)
     else:
         nv = jnp.asarray(comm_noise_var, jnp.float32)
     rx_wave = channel.awgn(k_comm, rx_wave, nv)
-    rx_wave = jnp.concatenate(
-        [rx_wave, jnp.zeros(2 * cfg.n_sync_words * cfg.sym_len, rx_wave.dtype)]
+    rx_wave = cx.concatenate(
+        [rx_wave, cx.zeros(2 * cfg.n_sync_words * cfg.sym_len)], axis=-1
     )
     comm = comm_link.rx_chain(cfg, spec, rx_wave)
 
     # ---- state update (the reference's CSV writes)
     if spec.packet_type is PacketType.NDP:
         upd = comm.eq.sig_ok
-        new_chan_est = jnp.where(upd, comm.eq.chan_est_full, state.chan_est)
+        new_chan_est = cx.where(upd, comm.eq.chan_est_full, state.chan_est)
         chan_valid = state.chan_valid | upd
     else:
         new_chan_est = state.chan_est
@@ -200,7 +200,7 @@ def jrc_step(
     radar_valid = state.radar_valid | est.detected
 
     new_state = JRCState(
-        chan_est=new_chan_est.astype(jnp.complex64),
+        chan_est=new_chan_est,
         chan_valid=chan_valid,
         radar_angle=radar_angle.astype(jnp.float32),
         radar_valid=radar_valid,

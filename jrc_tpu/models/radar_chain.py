@@ -87,7 +87,7 @@ def radar_frame(
     n_sym_total = tx.grid.shape[0]
     y = ofdm.ofdm_demodulate(cfg, rx, n_sym_total)  # (n_rx, n_sym, fft_len)
 
-    x_ref = jnp.swapaxes(tx.grid, 0, 1)  # (n_tx, n_sym, fft_len)
+    x_ref = tx.grid.swapaxes(0, 1)  # (n_tx, n_sym, fft_len)
     sl = slice(n_pre, n_pre + n_corr_sym)
     h = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
-from jrc_tpu.ops import decoder, equalizer, ofdm, sync
+from jrc_tpu.ops import cplx as cx, decoder, equalizer, ofdm, sync
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -61,6 +61,7 @@ def rx_block(
 ) -> BlockRxResult:
     """Detect and decode every frame whose trigger lies in the ownership
     window; ``start`` is reported relative to ``own_lo``."""
+    x = cx.from_complex(x)
     n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
     det = sync.detect_frames(
         cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
@@ -107,12 +108,13 @@ def scan_rx(
     """
     halo = frame_window_samples(cfg, spec) + cfg.fft_len
     left_hist = left_history_samples(cfg)
+    x = cx.from_complex(x)
     assert x.shape[-1] >= n_blocks * block_len + halo
-    xp = jnp.concatenate([jnp.zeros(left_hist, x.dtype), x])
+    xp = cx.concatenate([cx.zeros(left_hist), x], axis=-1)
 
     def body(_, b):
         start = b * block_len
-        blk = jax.lax.dynamic_slice_in_dim(
+        blk = cx.dynamic_slice_in_dim(
             xp, start, left_hist + block_len + halo
         )
         res = rx_block(

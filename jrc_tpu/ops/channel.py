@@ -13,6 +13,9 @@ Radar model per target k and virtual element (tx, rx)
   amplitude A = c·√RCS / ((4π)^{3/2}·R²·f_c)  (radar equation)
   optional per-target random phase and TX→RX self-coupling.
 
+All spectral work is the pair-form mixed-radix DFT (ops/cplx.dft): matmul
+stages on the MXU, no complex HLO — frame-length transforms included.
+
 Deviation from the reference (deliberate): the reference *overwrites* the
 output per target (volk multiply writes, never accumulates —
 lib/target_simulator_impl.cc:341-369), so with >1 target only the last
@@ -27,6 +30,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from jrc_tpu.ops import cplx as cx
 
 C_LIGHT = 299792458.0
 FOUR_PI_CUBED_SQRT = float((4 * np.pi) ** 1.5)
@@ -59,7 +64,7 @@ def virtual_positions(n_tx: int, n_rx: int, wavelength: float, spacing: float = 
 
 
 def apply_targets(
-    tx_time: jax.Array,  # (n_tx, n_samp)
+    tx_time: cx.CArray,  # (n_tx, n_samp)
     targets: Targets,
     *,
     sample_rate: float,
@@ -67,8 +72,9 @@ def apply_targets(
     pos_virtual: np.ndarray,  # (n_tx, n_rx) meters
     rng_key=None,  # enables per-target random phase when given
     self_coupling_db: float | None = None,
-) -> jax.Array:
+) -> cx.CArray:
     """Propagate TX waveforms through the target scene → (n_rx, n_samp)."""
+    tx_time = cx.from_complex(tx_time)
     n_tx, n = tx_time.shape
     n_rx = pos_virtual.shape[1]
     k = len(targets)
@@ -82,45 +88,45 @@ def apply_targets(
     ampl = C_LIGHT * jnp.sqrt(rcs) / FOUR_PI_CUBED_SQRT / rng_t**2 / center_freq
 
     t = jnp.arange(n, dtype=jnp.float32) / sample_rate
-    dopp_ramp = jnp.exp(2j * jnp.pi * doppler[:, None] * t[None, :])  # (K, n)
+    dopp_ramp = cx.expj(2 * jnp.pi * doppler[:, None] * t[None, :])  # (K, n)
     if rng_key is not None:
         phase = jax.random.uniform(rng_key, (k,), minval=0.0, maxval=2 * np.pi)
-        dopp_ramp = dopp_ramp * jnp.exp(1j * phase)[:, None]
+        dopp_ramp = dopp_ramp * cx.expj(phase)[:, None]
     dopp_ramp = dopp_ramp * ampl[:, None]
 
     # (n_tx, K, n): Doppler-shifted TX, then to frequency domain
     x = tx_time[:, None, :] * dopp_ramp[None, :, :]
-    X = jnp.fft.fft(x, axis=-1)
+    X = cx.dft(x)
 
-    freqs = jnp.fft.fftfreq(n, d=1.0 / sample_rate).astype(jnp.float32)  # two-sided
+    freqs = jnp.asarray(cx.fftfreq(n, d=1.0 / sample_rate))  # two-sided
     # τ per (tx, rx, K)
     tau = (
         2.0 * rng_t[None, None, :]
         - jnp.asarray(pos_virtual)[:, :, None] * jnp.sin(jnp.deg2rad(az))[None, None, :]
     ) / C_LIGHT
-    shift = jnp.exp(
-        -2j * jnp.pi * tau[..., None] * (freqs + center_freq)[None, None, None, :]
+    shift = cx.expj(
+        -2 * jnp.pi * tau[..., None] * (freqs + center_freq)[None, None, None, :]
     )  # (n_tx, n_rx, K, n)
 
-    y = jnp.fft.ifft(X[:, None, :, :] * shift, axis=-1)  # (n_tx, n_rx, K, n)
-    rx = jnp.sum(y, axis=(0, 2)).astype(jnp.complex64)  # (n_rx, n)
+    y = cx.dft(X[:, None, :, :] * shift, inverse=True)  # (n_tx, n_rx, K, n)
+    rx = cx.sum(y, axis=(0, 2))  # (n_rx, n)
 
     if self_coupling_db is not None:
         coupling = 10.0 ** (self_coupling_db / 20.0)
-        rx = rx + coupling * jnp.sum(tx_time, axis=0)[None, :]
+        rx = rx + coupling * cx.sum(tx_time, axis=0)[None, :]
     return rx
 
 
-def awgn(rng_key, x: jax.Array, noise_var: float) -> jax.Array:
+def awgn(rng_key, x: cx.CArray, noise_var) -> cx.CArray:
     """Complex AWGN with total variance ``noise_var`` (var/2 per quadrature),
     matching the sim graphs' analog_noise_source with amplitude √noise_var."""
+    x = cx.from_complex(x)
     kr, ki = jax.random.split(rng_key)
     std = jnp.sqrt(jnp.asarray(noise_var, jnp.float32) / 2.0)
-    n = std * (
-        jax.random.normal(kr, x.shape, jnp.float32)
-        + 1j * jax.random.normal(ki, x.shape, jnp.float32)
+    return x + cx.CArray(
+        std * jax.random.normal(kr, x.shape, jnp.float32),
+        std * jax.random.normal(ki, x.shape, jnp.float32),
     )
-    return (x + n).astype(jnp.complex64)
 
 
 def thermal_noise_var(sample_rate: float, noise_figure_db: float = 5.0, temp_k: float = 290.0) -> float:
@@ -130,27 +136,27 @@ def thermal_noise_var(sample_rate: float, noise_figure_db: float = 5.0, temp_k: 
 
 
 def comm_channel(
-    tx_time: jax.Array,  # (n_tx, n_samp)
+    tx_time: cx.CArray,  # (n_tx, n_samp)
     *,
     angle_deg: float,
     path_loss: float,
     noise_var: float,
     cfo: float = 0.0,  # radians/sample
     rng_key=None,
-) -> jax.Array:
+) -> cx.CArray:
     """Comm-sim channel: ULA phase per TX antenna at ``angle_deg``, path-loss
     scaling, sum over antennas, CFO rotation, AWGN → (n_samp,).
 
     Mirrors the comm-sim flowgraph: multiply_const ``exp(j·k·π·sin θ)/path_loss``
     per antenna → add → channels_channel_model(freq_offset=cfo/2π per sample).
     """
+    tx_time = cx.from_complex(tx_time)
     n_tx, n = tx_time.shape
     k = jnp.arange(n_tx)
-    steer = jnp.exp(1j * jnp.pi * jnp.sin(jnp.deg2rad(jnp.asarray(angle_deg))) * k)
-    y = jnp.sum(tx_time * steer[:, None], axis=0) / path_loss
+    steer = cx.expj(jnp.pi * jnp.sin(jnp.deg2rad(jnp.asarray(angle_deg))) * k)
+    y = cx.sum(tx_time * steer[:, None], axis=0) / path_loss
     if cfo:
-        ramp = jnp.exp(1j * cfo * jnp.arange(n, dtype=jnp.float32))
-        y = y * ramp
+        y = y * cx.expj(cfo * jnp.arange(n, dtype=jnp.float32))
     if rng_key is not None and noise_var > 0:
         y = awgn(rng_key, y, noise_var)
-    return y.astype(jnp.complex64)
+    return y

@@ -445,6 +445,58 @@ def dft_mats(
     return W.real.astype(np.float32), W.imag.astype(np.float32)
 
 
+def _best_split(n: int) -> int:
+    """Divisor of n closest to √n from below (1 when n is prime) — balances
+    the two matmul stages of a Cooley-Tukey step."""
+    for d in range(int(np.sqrt(n)), 1, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _twiddle(n1: int, n2: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
+    """tw[b, k1] = exp(±2πi·b·k1/(n1·n2)), shape (n2, n1)."""
+    sign = 2j if inverse else -2j
+    w = np.exp(sign * np.pi * np.outer(np.arange(n2), np.arange(n1)) / (n1 * n2))
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def dft(x, *, inverse: bool = False, norm: str = "backward") -> CArray:
+    """General last-axis DFT of arbitrary length as matmuls.
+
+    Direct constant-matrix product for n ≤ 1024; one Cooley-Tukey split
+    (reshape → stage-1 matmul → twiddle → stage-2 matmul) for longer
+    composite n — everything stays on the MXU, no complex HLO. Used by the
+    target-simulator channel where transform length = frame length.
+
+    Derivation (N = n1·n2, n = n2·a + b, k = k1 + n1·k2):
+    X[k1 + n1·k2] = Σ_b W_{n2}^{b·k2} · tw(b,k1) · Σ_a x[n2·a+b] W_{n1}^{a·k1}
+    """
+    x = x if isinstance(x, CArray) else from_complex(x)
+    n = x.shape[-1]
+    n1 = _best_split(n) if n > 1024 else 1
+    if n1 == 1:
+        return apply_dft(x, dft_mats(n, inverse=inverse, norm=norm))
+    n2 = n // n1
+    stage_norm = "forward" if inverse else "backward"  # both ⇒ unscaled stages
+    xr = x.reshape(*x.shape[:-1], n1, n2)  # xr[a, b] = x[n2·a + b]
+    # stage 1: DFT over a → S[b, k1]
+    s1 = apply_dft(xr.swapaxes(-1, -2), dft_mats(n1, inverse=inverse, norm=stage_norm))
+    s1 = s1 * CArray(*(jnp.asarray(m) for m in _twiddle(n1, n2, inverse)))
+    # stage 2: DFT over b → out[k1, k2]
+    s2 = apply_dft(s1.swapaxes(-1, -2), dft_mats(n2, inverse=inverse, norm=stage_norm))
+    out = s2.swapaxes(-1, -2).reshape(*x.shape[:-1], n)  # [k2, k1] → k1 + n1·k2
+    if norm == "ortho":
+        out = out * np.float32(1.0 / np.sqrt(n))
+    elif (norm == "backward" and inverse) or (norm == "forward" and not inverse):
+        out = out * np.float32(1.0 / n)
+    return out
+
+
+def fftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    return np.fft.fftfreq(n, d).astype(np.float32)
+
+
 def apply_dft(x, mats: tuple, precision=jax.lax.Precision.HIGHEST) -> CArray:
     """Last-axis DFT of a CArray via two constant matrices (4 matmuls).
 

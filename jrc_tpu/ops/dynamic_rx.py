@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import MCS, OFDMConfig, PacketType, mcs_tables
+from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops import coding, equalizer, modulation, ofdm, sync
 from jrc_tpu.ops.precoder import SIG_RATE_TO_MCS
 from jrc_tpu.ops.viterbi import viterbi_decode, hard_to_values
@@ -135,9 +136,9 @@ def rx_frame_dynamic(
     h_legacy, snr_db = equalizer.legacy_channel_estimate(cfg, grid[0], grid[1])
 
     # SIG
-    ref0 = jnp.asarray(cfg.pilot_symbols)[0]
+    ref0 = cx.from_complex(np.asarray(cfg.pilot_symbols)[0])
     beta, _ = equalizer.common_phase_error(cfg, grid[2], h_legacy, ref0)
-    y_sig = grid[2] * jnp.exp(-1j * beta)
+    y_sig = grid[2] * cx.expj(-beta)
     didx = jnp.asarray(cfg.data_carrier_idx)
     z_sig = y_sig[didx] / h_legacy[didx]
     rate_bitmap, ptype, length, sig_ok = equalizer.decode_sig(cfg, z_sig)
@@ -153,7 +154,7 @@ def rx_frame_dynamic(
     # data equalization over the max envelope with a masked scan:
     y_data = grid[3 + cfg.n_ltf :]
     pidx = jnp.asarray(cfg.pilot_carrier_idx)
-    sched = jnp.asarray(cfg.pilot_symbols)
+    sched = cx.from_complex(np.asarray(cfg.pilot_symbols))
     rows = jnp.arange(max_n_sym) % sched.shape[0]
     refs = sched[rows]
     is_data_frame = ptype == 1
@@ -162,18 +163,18 @@ def rx_frame_dynamic(
         sig_sum, noise_sum, count = carry
         y, ref, k = xs
         active_sym = k < n_sym
-        chan = jnp.where(is_data_frame, h_eff, h_legacy)
+        chan = cx.where(is_data_frame, h_eff, h_legacy)
         beta_k, est = equalizer.common_phase_error(cfg, y, chan, ref)
-        y = y * jnp.exp(-1j * beta_k)
+        y = y * cx.expj(-beta_k)
         w = active_sym.astype(jnp.float32)
-        sig_sum = sig_sum + w * jnp.sum(jnp.abs(est) ** 2)
-        noise_sum = noise_sum + w * jnp.sum(jnp.abs(est - y[pidx]) ** 2)
+        sig_sum = sig_sum + w * jnp.sum(cx.abs2(est))
+        noise_sum = noise_sum + w * jnp.sum(cx.abs2(est - y[pidx]))
         count = count + jnp.where(active_sym, cfg.n_pilot_carriers, 0)
-        csi = jnp.abs(chan[didx]) ** 2 + noise_sum / jnp.maximum(count, 1)
-        z_mmse = y[didx] * jnp.conj(chan[didx]) / csi
+        csi = cx.abs2(chan[didx]) + noise_sum / jnp.maximum(count, 1)
+        z_mmse = cx.mul_conj(y[didx], chan[didx]) / csi
         z_zf = y[didx] / chan[didx]
-        z = jnp.where(is_data_frame, z_mmse, z_zf)
-        return (sig_sum, noise_sum, count), jnp.where(active_sym, z, 0.0)
+        z = cx.where(is_data_frame, z_mmse, z_zf)
+        return (sig_sum, noise_sum, count), cx.where(active_sym, z, cx.zeros(z.shape))
 
     (_, _, _), z = jax.lax.scan(
         step,

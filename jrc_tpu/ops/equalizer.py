@@ -5,7 +5,7 @@ the reference's RX core. The per-symbol state machine keyed by stream tags
 becomes a batched pipeline over a (n_sym_total, fft_len) frequency grid with a
 ``lax.scan`` only where true sequential dependencies exist (the running
 pilot-noise estimate feeding the MMSE denominator, and the decision-directed
-STA channel update).
+STA channel update). All complex arithmetic is pair-form (ops/cplx.py).
 
 Algorithm citations (reference file:line):
 * sampling-offset precompensation  …:261-264 (Sourour et al.)
@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import MCS, OFDMConfig, PacketType
+from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops import modulation
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.ops.precoder import parse_signal_field_bits
@@ -32,84 +33,85 @@ from jrc_tpu.ops.viterbi import viterbi_decode, hard_to_values
 
 
 class EqualizedFrame(NamedTuple):
-    z: jax.Array  # (n_data_sym, n_data_carriers) equalized symbols
+    z: cx.CArray  # (n_data_sym, n_data_carriers) equalized symbols
     snr_legacy: jax.Array  # dB, from the L-LTF pair
     snr_data: jax.Array  # dB, from pilot tracking over the payload
-    chan_est_full: jax.Array  # (fft_len, n_tx) NDP MIMO estimate (zeros for DATA)
-    chan_mean: jax.Array  # (n_tx,) mean over active carriers (NDP) / scalar-per-tx0
+    chan_est_full: cx.CArray  # (fft_len, n_tx) NDP MIMO estimate (zeros for DATA)
+    chan_mean: cx.CArray  # (n_tx,) mean over active carriers (NDP) / scalar-per-tx0
     sig_rate_bitmap: jax.Array
     sig_length: jax.Array
     sig_ptype: jax.Array
     sig_ok: jax.Array
 
 
-def sampling_offset_compensate(cfg: OFDMConfig, grid: jax.Array, cfo_total) -> jax.Array:
+def sampling_offset_compensate(cfg: OFDMConfig, grid: cx.CArray, cfo_total) -> cx.CArray:
     """Y[sym,i] ·= exp(j·2π·sym·(sym_len/fft_len)·ε0·(i−fft/2)), ε0 = cfo·/ω_c."""
+    grid = cx.from_complex(grid)
     n_sym = grid.shape[-2]
     eps0 = cfo_total * cfg.sample_rate / (2 * jnp.pi * cfg.center_freq)
     sym = jnp.arange(n_sym, dtype=jnp.float32)[:, None]
     i = jnp.arange(cfg.fft_len, dtype=jnp.float32)[None, :] - cfg.fft_len / 2
     phase = 2 * jnp.pi * sym * (cfg.sym_len / cfg.fft_len) * eps0 * i
-    return grid * jnp.exp(1j * phase)
+    return grid * cx.expj(phase)
 
 
-def legacy_channel_estimate(cfg: OFDMConfig, y0: jax.Array, y1: jax.Array):
+def legacy_channel_estimate(cfg: OFDMConfig, y0: cx.CArray, y1: cx.CArray):
     """L-LTF pair → (H (fft_len,), snr_dB).
 
     H starts as raw y0; on active carriers H = (y0+y1)/(2·ltf); SNR from the
     sum/difference power of the two repetitions (…:272-305).
     """
     active = jnp.asarray(cfg.active_carrier_idx)
-    ltf = jnp.asarray(cfg.lltf_freq)
-    noise = jnp.sum(jnp.abs(y0[active] - y1[active]) ** 2)
-    signal = jnp.sum(jnp.abs(y0[active] + y1[active]) ** 2)
+    ltf = cx.from_complex(np.asarray(cfg.lltf_freq))
+    noise = jnp.sum(cx.abs2(y0[active] - y1[active]))
+    signal = jnp.sum(cx.abs2(y0[active] + y1[active]))
     h = y0
     h = h.at[active].set((y0[active] + y1[active]) / (2.0 * ltf[active]))
     snr_db = 10.0 * jnp.log10(signal / noise / 2.0)
     return h, snr_db
 
 
-def common_phase_error(cfg: OFDMConfig, y: jax.Array, chan: jax.Array, ref_pilots: jax.Array):
+def common_phase_error(cfg: OFDMConfig, y: cx.CArray, chan: cx.CArray, ref_pilots: cx.CArray):
     """(β, est_rx_pilots): β = arg Σ_p y[p]·conj(chan[p]·ref[p]) (…:908-922)."""
     pidx = jnp.asarray(cfg.pilot_carrier_idx)
     est = chan[..., pidx] * ref_pilots
-    beta = jnp.angle(jnp.sum(y[..., pidx] * jnp.conj(est), axis=-1))
+    beta = cx.angle(cx.sum(cx.mul_conj(y[..., pidx], est), axis=-1))
     return beta, est
 
 
-def decode_sig(cfg: OFDMConfig, z_sig: jax.Array):
+def decode_sig(cfg: OFDMConfig, z_sig: cx.CArray):
     """Equalized SIG data carriers → (rate_bitmap, ptype, length, ok)."""
-    bits = (jnp.real(z_sig) > 0).astype(jnp.uint8)  # BPSK decision
+    bits = (cx.real(z_sig) > 0).astype(jnp.uint8)  # BPSK decision
     decoded = viterbi_decode(hard_to_values(bits), n_out=24)
     return parse_signal_field_bits(decoded)
 
 
-def mimo_channel_estimate_ndp(cfg: OFDMConfig, y_ltf: jax.Array):
+def mimo_channel_estimate_ndp(cfg: OFDMConfig, y_ltf: cx.CArray):
     """(n_ltf, fft_len) received MIMO-LTFs → (fft_len, n_tx) LS estimate.
 
     Ĥ(sc,tx) = Σ_l conj(X_ltf[sc,tx,l])·y[l,sc]  (…:392-399); the in-memory
     replacement for chan_est.csv. Also returns the active-carrier mean.
     """
-    x = jnp.asarray(cfg.ltf_mapped_sc_ss_sym)  # (fft_len, n_tx, n_ltf)
-    h = jnp.einsum("stl,ls->st", jnp.conj(x), y_ltf)
+    x_conj = cx.from_complex(np.conj(np.asarray(cfg.ltf_mapped_sc_ss_sym)))
+    h = cx.einsum("stl,ls->st", x_conj, y_ltf)  # (fft_len, n_tx)
     active = jnp.asarray(cfg.active_carrier_idx)
-    h_mean = jnp.mean(h[active], axis=0)
+    h_mean = cx.mean(h[active], axis=0)
     return h, h_mean
 
 
-def effective_channel_estimate(cfg: OFDMConfig, y_ltf: jax.Array):
+def effective_channel_estimate(cfg: OFDMConfig, y_ltf: cx.CArray):
     """(n_ltf, fft_len) → (fft_len,) effective precoded channel for stream 0.
 
     H_eff(sc) = Σ_l conj(X_ltf[sc,0,l])·y[l,sc] / n_ltf on active carriers,
     zero elsewhere (…:433-452).
     """
-    x0 = jnp.asarray(cfg.ltf_mapped_sc_ss_sym)[:, 0, :]  # (fft_len, n_ltf)
-    h = jnp.einsum("sl,ls->s", jnp.conj(x0), y_ltf) / cfg.n_ltf
+    x0_conj = cx.from_complex(np.conj(np.asarray(cfg.ltf_mapped_sc_ss_sym)[:, 0, :]))
+    h = cx.einsum("sl,ls->s", x0_conj, y_ltf) / cfg.n_ltf
     mask = jnp.zeros(cfg.fft_len, bool).at[jnp.asarray(cfg.active_carrier_idx)].set(True)
-    return jnp.where(mask, h, 0.0)
+    return cx.where(mask, h, cx.zeros(cfg.fft_len))
 
 
-def _sta_decision(z: jax.Array, mcs: MCS) -> jax.Array:
+def _sta_decision(z: cx.CArray, mcs: MCS) -> cx.CArray:
     """Hard decision re-modulated with the TX scaling (…:509-517)."""
     vals = modulation.hard_decision(z, mcs)
     return modulation.modulate(vals, mcs)
@@ -118,19 +120,19 @@ def _sta_decision(z: jax.Array, mcs: MCS) -> jax.Array:
 def equalize_data_symbols(
     cfg: OFDMConfig,
     spec: FrameSpec,
-    y_data: jax.Array,  # (n_data_sym, fft_len), sampling-offset precompensated
-    h_legacy: jax.Array,  # (fft_len,)
-    h_eff: jax.Array,  # (fft_len,) effective channel (DATA frames)
+    y_data: cx.CArray,  # (n_data_sym, fft_len), sampling-offset precompensated
+    h_legacy: cx.CArray,  # (fft_len,)
+    h_eff: cx.CArray,  # (fft_len,) effective channel (DATA frames)
     estimator: str = "ls",
 ):
     """Payload equalization with CPE + pilot SNR tracking (+ optional STA).
 
-    Returns (z (n_data_sym, 48), snr_data_dB).
+    Returns (z (n_data_sym, 48) pair, snr_data_dB).
     """
     is_data = spec.packet_type is PacketType.DATA
     didx = jnp.asarray(cfg.data_carrier_idx)
     pidx = jnp.asarray(cfg.pilot_carrier_idx)
-    sched = jnp.asarray(cfg.pilot_symbols)
+    sched = cx.from_complex(np.asarray(cfg.pilot_symbols))
     n_sym = y_data.shape[0]
     rows = jnp.arange(n_sym) % sched.shape[0]
     ref_pilots_all = sched[rows]  # (n_sym, n_pilot)
@@ -143,15 +145,15 @@ def equalize_data_symbols(
         h, sig_sum, noise_sum, count = carry
         y, ref = xs
         beta, est = common_phase_error(cfg, y, h, ref)
-        y = y * jnp.exp(-1j * beta)
+        y = y * cx.expj(-beta)
         pilot_err = est - y[pidx]
-        sig_sum = sig_sum + jnp.sum(jnp.abs(est) ** 2)
-        noise_sum = noise_sum + jnp.sum(jnp.abs(pilot_err) ** 2)
+        sig_sum = sig_sum + jnp.sum(cx.abs2(est))
+        noise_sum = noise_sum + jnp.sum(cx.abs2(pilot_err))
         count = count + cfg.n_pilot_carriers
 
         if is_data:
-            csi = jnp.abs(h[didx]) ** 2 + noise_sum / count
-            z = y[didx] * jnp.conj(h[didx]) / csi
+            csi = cx.abs2(h[didx]) + noise_sum / count
+            z = cx.mul_conj(y[didx], h[didx]) / csi
         else:
             z = y[didx] / h[didx]  # ZF; h == h_legacy unless STA updated it
 
@@ -159,8 +161,8 @@ def equalize_data_symbols(
             x_hat = _sta_decision(z, spec.mcs)
             h_upd_data = y[didx] / x_hat
             h_upd_pilot = y[pidx] / ref
-            h = h.at[didx].set((1 - alpha) * h[didx] + alpha * h_upd_data)
-            h = h.at[pidx].set((1 - alpha) * h[pidx] + alpha * h_upd_pilot)
+            h = h.at[didx].set(h[didx] * (1 - alpha) + h_upd_data * alpha)
+            h = h.at[pidx].set(h[pidx] * (1 - alpha) + h_upd_pilot * alpha)
 
         return (h, sig_sum, noise_sum, count), z
 
@@ -175,7 +177,7 @@ def equalize_data_symbols(
 def equalize_frame(
     cfg: OFDMConfig,
     spec: FrameSpec,
-    grid: jax.Array,  # (n_sym_total, fft_len) post-FFT, shifted
+    grid: cx.CArray,  # (n_sym_total, fft_len) post-FFT, shifted
     cfo_total,
     estimator: str = "ls",
 ) -> EqualizedFrame:
@@ -190,9 +192,9 @@ def equalize_frame(
     h_legacy, snr_legacy = legacy_channel_estimate(cfg, grid[0], grid[1])
 
     # SIG (symbol index 2): CPE with pilot row 0 then zero-forcing
-    ref0 = jnp.asarray(cfg.pilot_symbols)[0]
+    ref0 = cx.from_complex(np.asarray(cfg.pilot_symbols)[0])
     beta, _ = common_phase_error(cfg, grid[2], h_legacy, ref0)
-    y_sig = grid[2] * jnp.exp(-1j * beta)
+    y_sig = grid[2] * cx.expj(-beta)
     didx = jnp.asarray(cfg.data_carrier_idx)
     z_sig = y_sig[didx] / h_legacy[didx]
     rate_bitmap, ptype, length, sig_ok = decode_sig(cfg, z_sig)
@@ -201,12 +203,12 @@ def equalize_frame(
     y_ltf = grid[3 : 3 + cfg.n_ltf]
     if spec.packet_type is PacketType.NDP:
         chan_full, chan_mean = mimo_channel_estimate_ndp(cfg, y_ltf)
-        h_eff = jnp.zeros(cfg.fft_len, jnp.complex64)
+        h_eff = cx.zeros(cfg.fft_len)
     else:
-        chan_full = jnp.zeros((cfg.fft_len, cfg.n_tx), jnp.complex64)
+        chan_full = cx.zeros((cfg.fft_len, cfg.n_tx))
         h_eff = effective_channel_estimate(cfg, y_ltf)
         active = jnp.asarray(cfg.active_carrier_idx)
-        chan_mean = jnp.broadcast_to(jnp.mean(h_eff[active]), (cfg.n_tx,))
+        chan_mean = cx.broadcast_to(cx.mean(h_eff[active]), (cfg.n_tx,))
 
     y_data = grid[3 + cfg.n_ltf :]
     z, snr_data = equalize_data_symbols(

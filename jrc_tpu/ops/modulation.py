@@ -1,4 +1,4 @@
-"""Constellation mapping / hard-decision demapping.
+"""Constellation mapping / hard-decision demapping (complex-free pairs).
 
 The reference uses gr-digital's ``constellation_bpsk/qpsk/16qam`` objects
 (``lib/stream_encoder_impl.cc:58-60``, ``lib/stream_decoder_impl.cc:186-192``)
@@ -6,7 +6,7 @@ with one quirk: QPSK points are additionally halved at the encoder
 (``lib/stream_encoder_impl.cc:219-221``). Tables below reproduce the
 gr-digital 3.8 Gray mappings; demapping is a batched nearest-point argmin
 (identical decisions to gr-digital's sign/region decision makers for these
-grids) expressed as one matmul-sized distance computation — MXU/VPU friendly.
+grids) over (re, im) pair distances — a fused VPU elementwise reduction.
 """
 from __future__ import annotations
 
@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import MCS, N_BPSC
+from jrc_tpu.ops import cplx as cx
 
 _SQRT_HALF = np.sqrt(0.5)
 _QAM16_LEVEL = np.sqrt(0.1)
@@ -54,13 +55,24 @@ def constellation(n_bpsc: int, tx_scale: bool = False) -> np.ndarray:
     return pts.astype(np.complex64)
 
 
-def modulate(values: jax.Array, mcs: MCS) -> jax.Array:
-    """Symbol values → complex points with the reference's TX scaling."""
-    pts = jnp.asarray(constellation(N_BPSC[mcs], tx_scale=True))
-    return pts[values]
+def constellation_pair(n_bpsc: int, tx_scale: bool = False) -> cx.CArray:
+    return cx.from_complex(constellation(n_bpsc, tx_scale))
 
 
-def hard_decision(symbols: jax.Array, mcs: MCS) -> jax.Array:
+def modulate(values: jax.Array, mcs: MCS) -> cx.CArray:
+    """Symbol values → constellation points (pair form) with TX scaling."""
+    return constellation_pair(N_BPSC[mcs], tx_scale=True)[values]
+
+
+def _point_distances(symbols: cx.CArray, pts: cx.CArray) -> jax.Array:
+    """|z - p_k|² per candidate point: (..., n) → (..., n, n_points)."""
+    symbols = symbols if isinstance(symbols, cx.CArray) else cx.from_complex(symbols)
+    dre = symbols.re[..., None] - pts.re
+    dim = symbols.im[..., None] - pts.im
+    return dre * dre + dim * dim
+
+
+def hard_decision(symbols, mcs: MCS) -> jax.Array:
     """Nearest-constellation-point demap → symbol values (int32).
 
     Equivalent to gr-digital ``decision_maker`` as used by the reference
@@ -70,12 +82,11 @@ def hard_decision(symbols: jax.Array, mcs: MCS) -> jax.Array:
     the constellation is irrelevant for QPSK/BPSK; for 16-QAM the reference
     also decides against the unscaled table.
     """
-    pts = jnp.asarray(constellation(N_BPSC[mcs], tx_scale=False))
-    d2 = jnp.abs(symbols[..., None] - pts) ** 2
+    d2 = _point_distances(symbols, constellation_pair(N_BPSC[mcs]))
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
-def soft_llr(symbols: jax.Array, mcs: MCS, noise_var=1.0) -> jax.Array:
+def soft_llr(symbols, mcs: MCS, noise_var=1.0) -> jax.Array:
     """Per-bit LLRs via max-log-MAP: (..., n) symbols → (..., n·n_bpsc).
 
     Not present in the reference (hard decisions only) but exposed so the
@@ -83,9 +94,8 @@ def soft_llr(symbols: jax.Array, mcs: MCS, noise_var=1.0) -> jax.Array:
     out of the vectorized formulation for free.
     """
     n_bpsc = N_BPSC[mcs]
-    pts = jnp.asarray(constellation(n_bpsc, tx_scale=False))
     vals = np.arange(len(constellation(n_bpsc)))
-    d2 = jnp.abs(symbols[..., None] - pts) ** 2 / jnp.asarray(noise_var)
+    d2 = _point_distances(symbols, constellation_pair(n_bpsc)) / jnp.asarray(noise_var)
     llrs = []
     for k in range(n_bpsc):
         mask1 = jnp.asarray((vals >> k) & 1, bool)
@@ -93,4 +103,4 @@ def soft_llr(symbols: jax.Array, mcs: MCS, noise_var=1.0) -> jax.Array:
         m0 = jnp.min(jnp.where(~mask1, d2, jnp.inf), axis=-1)
         llrs.append(m0 - m1)  # >0 ⇒ bit=1 more likely
     out = jnp.stack(llrs, axis=-1)
-    return out.reshape(*symbols.shape[:-1], symbols.shape[-1] * n_bpsc)
+    return out.reshape(*out.shape[:-2], out.shape[-2] * n_bpsc)

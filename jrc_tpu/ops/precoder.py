@@ -4,13 +4,18 @@ TPU-native equivalent of ``mimo_precoder`` (lib/mimo_precoder_impl.cc), the
 reference's TX core. Differences in *mechanism*, parity in *function*:
 
 * steering matrices for all subcarriers are computed in one batched
-  ``jnp.linalg.svd``/outer-product instead of a per-line Eigen loop over a
-  CSV file (lib/mimo_precoder_impl.cc:775-898);
+  closed-form **complex Householder** construction instead of a per-line
+  Eigen JacobiSVD loop over a CSV file (lib/mimo_precoder_impl.cc:775-898).
+  For a single-RX channel row h, the top right-singular vector of the 1×n_tx
+  matrix is conj(h)/‖h‖ in closed form; the Householder reflector that maps
+  e0 onto it supplies an orthonormal null-space complement — the same
+  function as JacobiSVD's V (whose complement basis is equally arbitrary),
+  with no iterative decomposition and no complex HLO;
 * the channel-estimate / radar-angle feedback arrives as in-memory arrays
   (see models/jrc_trx.py JRCState) instead of ``chan_est.csv``/``radar_log.csv``
   polled by mtime;
 * frame assembly is a scatter into a dense (n_sym_total, n_tx, fft_len)
-  frequency grid followed by einsum precoding — MXU-shaped.
+  frequency grid followed by einsum precoding — MXU-shaped, pair-form complex.
 
 Frame layout per antenna (lib/mimo_precoder_impl.cc:271-293):
 ``[sync×4 | SIG | MIMO-LTF×n_ltf | DATA×n_sym]``; legacy preamble and SIG are
@@ -25,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import MCS, OFDMConfig, PacketType, RATE_FIELD
+from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops import coding, modulation
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.ops.ofdm import allocate_carriers
@@ -94,30 +100,46 @@ def fourier_matrix(n: int) -> np.ndarray:
     return (np.exp(-2j * np.pi * np.outer(k, k) / n) / np.sqrt(n)).astype(np.complex64)
 
 
-def _q_from_h(h: jax.Array, n_tx: int, phased: bool) -> jax.Array:
+def _q_from_h(h: cx.CArray, n_tx: int, phased: bool) -> cx.CArray:
     """Steering matrix Q (..., n_tx, n_tx) from channel rows h (..., n_tx).
 
     phased (lib/mimo_precoder_impl.cc:848-854): Q.col0 = conj(h), zero else,
-    scaled √n_tx/‖Q‖_F. SVD (…:857-861): right singular vectors of h^T with
-    the same Frobenius normalization.
+    scaled √n_tx/‖Q‖_F. SVD steering (…:857-861): unitary V with
+    V.col0 ∝ conj(h) — built as a complex Householder reflector (see module
+    docstring); its Frobenius normalization √n_tx/‖V‖_F is identically 1.
     """
+    h = cx.from_complex(h)
+    norm = jnp.sqrt(jnp.sum(cx.abs2(h), axis=-1, keepdims=True))
+    nonzero = norm[..., 0] > 0
+
     if phased:
-        q0 = jnp.conj(h)  # (..., n_tx)
-        norm = jnp.linalg.norm(q0, axis=-1, keepdims=True)
         scale = jnp.where(norm > 0, np.sqrt(n_tx) / norm, 0.0)
-        col0 = q0 * scale
-        q = jnp.zeros((*h.shape, n_tx), h.dtype).at[..., 0].set(col0)
-        return q
-    # SVD of the 1×n_tx matrix h^T: V spans conj(h) ⊕ null space
-    a = h[..., None, :]  # (..., 1, n_tx)
-    _, _, vh = jnp.linalg.svd(a, full_matrices=True)
-    v = jnp.conj(jnp.swapaxes(vh, -1, -2))
-    fro = jnp.linalg.norm(v, axis=(-2, -1), keepdims=True)
-    return jnp.where(fro > 0, v * np.sqrt(n_tx) / fro, 0.0)
+        col0 = h.conj() * scale
+        q = cx.zeros((*h.shape, n_tx))
+        return q.at[..., 0].set(col0)
+
+    # unit top right-singular vector v ∝ conj(h)
+    v = h.conj() / jnp.where(norm > 0, norm, 1.0)
+    v0 = v[..., 0]
+    v0_abs = jnp.sqrt(cx.abs2(v0))
+    alpha = cx.where(v0_abs > 1e-12, v0 / jnp.maximum(v0_abs, 1e-12), cx.carray(1.0, 0.0))
+    e0 = np.zeros(n_tx, np.float32)
+    e0[0] = 1.0
+    w = v - cx.CArray(alpha.re[..., None] * e0, alpha.im[..., None] * e0)
+    wn2 = jnp.sum(cx.abs2(w), axis=-1)  # ∈ [0, 4]
+    outer = cx.einsum("...i,...j->...ij", w, w.conj())
+    eye = jnp.eye(n_tx, dtype=jnp.float32)
+    H = cx.CArray(eye - 2.0 * outer.re / jnp.maximum(wn2, 1e-12)[..., None, None],
+                  -2.0 * outer.im / jnp.maximum(wn2, 1e-12)[..., None, None])
+    # w → 0 means v is already ±e0 (up to phase): H degenerates to identity
+    H = cx.where((wn2 > 1e-12)[..., None, None], H, cx.CArray(
+        jnp.broadcast_to(eye, H.shape), jnp.zeros(H.shape, jnp.float32)))
+    zero = cx.zeros(H.shape)
+    return cx.where(nonzero[..., None, None], H, zero)
 
 
 def steering_from_chan_est(
-    cfg: OFDMConfig, chan_est: jax.Array, phased: bool = False
+    cfg: OFDMConfig, chan_est: cx.CArray, phased: bool = False
 ):
     """Per-subcarrier and mean steering from an NDP channel estimate.
 
@@ -126,28 +148,28 @@ def steering_from_chan_est(
     (Q (fft_len, n_tx, n_tx), Q_mean (n_tx, n_tx)); the mean averages over
     active carriers only (lib/mimo_precoder_impl.cc:872-893).
     """
+    chan_est = cx.from_complex(chan_est)
     q = _q_from_h(chan_est, cfg.n_tx, phased)
     active = jnp.asarray(cfg.active_carrier_idx)
-    h_mean = jnp.mean(chan_est[active], axis=0)
+    h_mean = cx.mean(chan_est[active], axis=0)
     q_mean = _q_from_h(h_mean, cfg.n_tx, phased)
     return q, q_mean
 
 
-def steering_from_angle(cfg: OFDMConfig, angle_deg, phased: bool = True) -> jax.Array:
+def steering_from_angle(cfg: OFDMConfig, angle_deg, phased: bool = True) -> cx.CArray:
     """Radar-aided steering: synthesize the ULA vector for an angle estimate
     (lib/mimo_precoder_impl.cc:956-959) and build the mean Q from it."""
     i_tx = jnp.arange(cfg.n_tx)
-    h = jnp.exp(1j * jnp.pi * jnp.sin(jnp.deg2rad(angle_deg)) * i_tx).astype(
-        jnp.complex64
-    )
+    h = cx.expj(jnp.pi * jnp.sin(jnp.deg2rad(angle_deg)) * i_tx)
     return _q_from_h(h, cfg.n_tx, phased)
 
 
-def mean_channel_angle(chan_mean: jax.Array):
+def mean_channel_angle(chan_mean: cx.CArray):
     """Debug angle estimate from the mean channel:
     ``asin(arg(h1/h0)/π)`` in degrees (lib/mimo_precoder_impl.cc:511-527)."""
+    chan_mean = cx.from_complex(chan_mean)
     ratio = chan_mean[..., 1] / chan_mean[..., 0]
-    return jnp.rad2deg(jnp.arcsin(jnp.angle(ratio) / jnp.pi))
+    return jnp.rad2deg(jnp.arcsin(cx.angle(ratio) / jnp.pi))
 
 
 # ---------------------------------------------------------------------------
@@ -156,24 +178,24 @@ def mean_channel_angle(chan_mean: jax.Array):
 
 
 def assemble_siso_frame(
-    cfg: OFDMConfig, data_syms: jax.Array, pilot_row0: int = 0
-) -> jax.Array:
+    cfg: OFDMConfig, data_syms: cx.CArray, pilot_row0: int = 0
+) -> cx.CArray:
     """Legacy SISO carrier allocator — ``ofdm_frame_generator`` parity
     (lib/ofdm_frame_generator_impl.cc): sync words + data/pilot mapping, one
     antenna, no SIG/MIMO-LTF. (n_sym, 48) → (n_sync+n_sym, fft_len).
     Superseded by :func:`assemble_frame` in the JRC graphs."""
-    sync = jnp.asarray(cfg.sync_words_freq)
+    sync = cx.from_complex(np.asarray(cfg.sync_words_freq))
     payload = allocate_carriers(cfg, data_syms, pilot_row0=pilot_row0)
-    return jnp.concatenate([sync, payload], axis=-2)
+    return cx.concatenate([sync, payload], axis=-2)
 
 
 def _stream_grids(
     cfg: OFDMConfig,
     spec: FrameSpec,
-    data_syms: jax.Array,
+    data_syms: cx.CArray,
     use_radar_streams: bool,
     rng_key,
-) -> jax.Array:
+) -> cx.CArray:
     """(n_streams, n_sym, fft_len) frequency grids: stream 0 = data+pilots,
     streams 1.. = random QPSK/2 'radar streams' on data *and* pilot carriers
     (lib/mimo_precoder_impl.cc:434-493)."""
@@ -184,26 +206,26 @@ def _stream_grids(
     n_sym = data_syms.shape[-2]
     n_active = cfg.n_data_carriers + cfg.n_pilot_carriers
     vals = jax.random.randint(rng_key, (n_extra, n_sym, n_active), 0, 4)
-    qpsk = jnp.asarray(modulation.constellation(2, tx_scale=True))
+    qpsk = modulation.constellation_pair(2, tx_scale=True)
     sym = qpsk[vals]
-    extra = jnp.zeros((n_extra, n_sym, cfg.fft_len), jnp.complex64)
+    extra = cx.zeros((n_extra, n_sym, cfg.fft_len))
     dc = jnp.asarray(cfg.data_carrier_idx)
     pc = jnp.asarray(cfg.pilot_carrier_idx)
     extra = extra.at[..., dc].set(sym[..., : cfg.n_data_carriers])
     extra = extra.at[..., pc].set(sym[..., cfg.n_data_carriers :])
-    return jnp.concatenate([grid0[None], extra], axis=0)
+    return cx.concatenate([grid0[None], extra], axis=0)
 
 
 def assemble_frame(
     cfg: OFDMConfig,
     spec: FrameSpec,
-    data_syms: jax.Array,
+    data_syms: cx.CArray,
     *,
-    steering: jax.Array | None = None,  # (fft_len, n_tx, n_tx) per-sc Q
-    mean_steering: jax.Array | None = None,  # (n_tx, n_tx)
+    steering: cx.CArray | None = None,  # (fft_len, n_tx, n_tx) per-sc Q
+    mean_steering: cx.CArray | None = None,  # (n_tx, n_tx)
     use_radar_streams: bool = False,
     rng_key=None,
-) -> jax.Array:
+) -> cx.CArray:
     """Build the full TX frequency grid (n_total_sym, n_tx, fft_len).
 
     Precoding mode selection mirrors lib/mimo_precoder_impl.cc:496-532:
@@ -212,37 +234,38 @@ def assemble_frame(
     directly, payload duplicated on the first two antennas (…:379-428).
     """
     n_tx = cfg.n_tx
+    data_syms = cx.from_complex(data_syms)
     n_sym = data_syms.shape[-2]
     assert n_sym == spec.n_ofdm_sym, (n_sym, spec.n_ofdm_sym)
     n_total = cfg.n_sync_words + 1 + cfg.n_ltf + n_sym
     legacy_ants = min(2, n_tx)
 
-    grid = jnp.zeros((n_total, n_tx, cfg.fft_len), jnp.complex64)
+    grid = cx.zeros((n_total, n_tx, cfg.fft_len))
 
     # --- legacy sync preamble on first 2 antennas (…:336-350)
-    sync = jnp.asarray(cfg.sync_words_freq)  # (4, fft_len)
+    sync = cx.from_complex(np.asarray(cfg.sync_words_freq))  # (4, fft_len)
     grid = grid.at[: cfg.n_sync_words, :legacy_ants, :].set(
-        jnp.broadcast_to(sync[:, None, :], (cfg.n_sync_words, legacy_ants, cfg.fft_len))
+        cx.broadcast_to(sync[:, None, :], (cfg.n_sync_words, legacy_ants, cfg.fft_len))
     )
 
     # --- SIG on first 2 antennas with pilot row 0 (…:356-372)
-    sig = jnp.asarray(signal_field_symbols(spec))
+    sig = cx.from_complex(signal_field_symbols(spec))
     sig_grid = allocate_carriers(cfg, sig[None, :], pilot_row0=0)[0]
     grid = grid.at[cfg.n_sync_words, :legacy_ants, :].set(
-        jnp.broadcast_to(sig_grid, (legacy_ants, cfg.fft_len))
+        cx.broadcast_to(sig_grid, (legacy_ants, cfg.fft_len))
     )
 
     ltf_rows = slice(cfg.n_sync_words + 1, cfg.n_sync_words + 1 + cfg.n_ltf)
     data_rows = slice(cfg.n_sync_words + 1 + cfg.n_ltf, n_total)
-    x_ltf = jnp.asarray(cfg.ltf_mapped_sc_ss_sym)  # (fft_len, n_tx, n_ltf)
+    x_ltf = cx.from_complex(np.asarray(cfg.ltf_mapped_sc_ss_sym))  # (fft_len, n_tx, n_ltf)
 
     if spec.packet_type is PacketType.NDP:
         # unprecoded MIMO-LTF on all antennas (…:379-388)
-        grid = grid.at[ltf_rows].set(jnp.transpose(x_ltf, (2, 1, 0)))
+        grid = grid.at[ltf_rows].set(x_ltf.transpose(2, 1, 0))
         # NDP payload + pilots, unprecoded, first 2 antennas (…:393-428)
         payload_grid = allocate_carriers(cfg, data_syms, pilot_row0=0)
         grid = grid.at[data_rows, :legacy_ants, :].set(
-            jnp.broadcast_to(payload_grid[:, None, :], (n_sym, legacy_ants, cfg.fft_len))
+            cx.broadcast_to(payload_grid[:, None, :], (n_sym, legacy_ants, cfg.fft_len))
         )
         return grid
 
@@ -251,16 +274,16 @@ def assemble_frame(
     n_streams = streams.shape[0]
 
     if steering is not None:
-        q = steering  # (fft_len, n_tx, n_tx)
-        ltf_pre = jnp.einsum("sij,sjl->lis", q, x_ltf)  # (n_ltf, n_tx, fft_len)
-        data_pre = jnp.einsum("sij,jks->kis", q[:, :, :n_streams], streams)
+        q = cx.from_complex(steering)  # (fft_len, n_tx, n_tx)
+        ltf_pre = cx.einsum("sij,sjl->lis", q, x_ltf)  # (n_ltf, n_tx, fft_len)
+        data_pre = cx.einsum("sij,jks->kis", q[:, :, :n_streams], streams)
     else:
         if mean_steering is not None:
-            qm = mean_steering
+            qm = cx.from_complex(mean_steering)
         else:
-            qm = jnp.asarray(fourier_matrix(n_tx))
-        ltf_pre = jnp.einsum("ij,sjl->lis", qm, x_ltf)
-        data_pre = jnp.einsum("ij,jks->kis", qm[:, :n_streams], streams)
+            qm = cx.from_complex(fourier_matrix(n_tx))
+        ltf_pre = cx.einsum("ij,sjl->lis", qm, x_ltf)
+        data_pre = cx.einsum("ij,jks->kis", qm[:, :n_streams], streams)
 
     grid = grid.at[ltf_rows].set(ltf_pre)
     grid = grid.at[data_rows].set(data_pre)

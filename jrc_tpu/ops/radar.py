@@ -8,7 +8,10 @@ TPU-native equivalents of the reference radar chain:
   zero-padded output — here one einsum + a functional ring-buffer pytree.
 * the stock-FFT imaging chain (radar-sim grc): zero-padded range IFFT (×8),
   ``matrix_transpose`` corner turn (lib/matrix_transpose_impl.cc:99-104),
-  zero-padded shifted angle FFT (×16) — fused into one batched map kernel.
+  zero-padded shifted angle FFT (×16) — fused into one batched map kernel:
+  two constant-matrix MXU contractions (64→512 and 8→128) with the zero-pad
+  and fftshift folded into the matrices (ops/cplx.dft_mats), never
+  materializing padded intermediates.
 * ``range_angle_estimator`` (lib/range_angle_estimator_impl.cc:137-253) —
   global 2-D argmax, noise power from a wrapped patch at the orthogonal angle
   and opposite range, SNR threshold detection.
@@ -17,6 +20,7 @@ TPU-native equivalents of the reference radar chain:
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -24,42 +28,45 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
+from jrc_tpu.ops import cplx as cx
 
 
 def radar_channel_estimate(
-    x_ref: jax.Array,  # (n_tx, n_sym, fft_len) TX frequency-domain reference
-    y_rx: jax.Array,  # (n_rx, n_sym, fft_len) RX spectra (time-aligned)
+    x_ref: cx.CArray,  # (n_tx, n_sym, fft_len) TX frequency-domain reference
+    y_rx: cx.CArray,  # (n_rx, n_sym, fft_len) RX spectra (time-aligned)
     tx_interleave: bool = False,
-) -> jax.Array:
+) -> cx.CArray:
     """Ĥ(pair, sc) = Σ_sym Y(rx,sym,sc)·conj(X(tx,sym,sc)) → (n_tx·n_rx, fft_len).
 
     Row order is rx-major (pair = rx·n_tx + tx) unless ``tx_interleave``
     (lib/mimo_ofdm_radar_impl.cc:262-269).
     """
-    h = jnp.einsum("rsf,tsf->trf", y_rx, jnp.conj(x_ref))  # (n_tx, n_rx, fft)
+    x_ref = cx.from_complex(x_ref)
+    y_rx = cx.from_complex(y_rx)
+    h = cx.einsum("rsf,tsf->trf", y_rx, x_ref.conj())  # (n_tx, n_rx, fft)
     if tx_interleave:
         return h.reshape(-1, h.shape[-1])  # tx-major
-    return jnp.swapaxes(h, 0, 1).reshape(-1, h.shape[-1])  # rx-major
+    return h.swapaxes(0, 1).reshape(-1, h.shape[-1])  # rx-major
 
 
 class BackgroundState(NamedTuple):
     """Functional ring buffer of past channel estimates
     (lib/mimo_ofdm_radar_impl.cc:276-300, boost circular_buffer record_len=8)."""
 
-    buffer: jax.Array  # (record_len, n_virt, fft_len)
+    buffer: cx.CArray  # (record_len, n_virt, fft_len)
     count: jax.Array  # int32 number of valid entries
 
 
 def init_background(record_len: int, n_virt: int, fft_len: int) -> BackgroundState:
     return BackgroundState(
-        buffer=jnp.zeros((record_len, n_virt, fft_len), jnp.complex64),
+        buffer=cx.zeros((record_len, n_virt, fft_len)),
         count=jnp.int32(0),
     )
 
 
 def background_removal(
-    state: BackgroundState, h: jax.Array
-) -> tuple[jax.Array, BackgroundState]:
+    state: BackgroundState, h: cx.CArray
+) -> tuple[cx.CArray, BackgroundState]:
     """Subtract the mean of buffered estimates; push the raw estimate.
 
     Matches the reference ordering: the *current* estimate is recorded after
@@ -67,8 +74,8 @@ def background_removal(
     """
     record_len = state.buffer.shape[0]
     n_valid = jnp.minimum(state.count, record_len)
-    mean = jnp.sum(state.buffer, axis=0) / jnp.maximum(n_valid, 1).astype(jnp.float32)
-    cleaned = jnp.where(n_valid > 0, h - mean, h)
+    mean = cx.sum(state.buffer, axis=0) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    cleaned = cx.where(n_valid > 0, h - mean, h)
     slot = state.count % record_len
     new = BackgroundState(
         buffer=state.buffer.at[slot].set(h), count=state.count + 1
@@ -76,37 +83,47 @@ def background_removal(
     return cleaned, new
 
 
+@lru_cache(maxsize=None)
+def _range_mats(fft_len: int, interp: int):
+    """Zero-pad-to-fft_len·interp IFFT, unshifted, numpy-default scaling."""
+    return cx.dft_mats(fft_len, fft_len * interp, inverse=True, norm="backward")
+
+
+@lru_cache(maxsize=None)
+def _angle_mats(n_virt: int, interp: int):
+    """Zero-pad-to-n_virt·interp FFT with fused output fftshift."""
+    return cx.dft_mats(n_virt, n_virt * interp, shift_out=True, norm="backward")
+
+
 def range_angle_map(
-    h: jax.Array,  # (n_virt, fft_len) channel estimate (rx-major rows)
+    h: cx.CArray,  # (n_virt, fft_len) channel estimate (rx-major rows)
     interp_factor_range: int = 8,
     interp_factor_angle: int = 16,
-) -> jax.Array:
+) -> cx.CArray:
     """Channel estimate → complex range-angle map (n_range, n_angle).
 
     Range: zero-pad each fft_len row to fft_len·ir at the tail, IFFT
     (unshifted — a circular spectrum shift only rotates phase, magnitudes are
     unaffected). Angle: corner-turn, zero-pad the n_virt axis to n_virt·ia,
     shifted FFT. Fuses radar-sim grc fft_vxx(512) → matrix_transpose →
-    fft_vxx(128, shift).
+    fft_vxx(128, shift) into two constant-matrix contractions.
     """
+    h = cx.from_complex(h)
     n_virt, fft_len = h.shape[-2], h.shape[-1]
-    n_range = fft_len * interp_factor_range
-    n_angle = n_virt * interp_factor_angle
-    hp = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, n_range - fft_len)])
-    ranges = jnp.fft.ifft(hp, axis=-1)  # (n_virt, n_range)
-    rt = jnp.swapaxes(ranges, -1, -2)  # (n_range, n_virt)
-    rtp = jnp.pad(rt, [(0, 0)] * (rt.ndim - 1) + [(0, n_angle - n_virt)])
-    return jnp.fft.fftshift(jnp.fft.fft(rtp, axis=-1), axes=-1).astype(jnp.complex64)
+    ranges = cx.apply_dft(h, _range_mats(fft_len, interp_factor_range))
+    rt = ranges.swapaxes(-1, -2)  # (n_range, n_virt)
+    return cx.apply_dft(rt, _angle_mats(n_virt, interp_factor_angle))
 
 
-def corner_turn(vectors: jax.Array, interp_factor: int = 1) -> jax.Array:
+def corner_turn(vectors: cx.CArray, interp_factor: int = 1) -> cx.CArray:
     """Standalone matrix_transpose parity op (lib/matrix_transpose_impl.cc:69-104):
     (n_vec, vec_len) → (vec_len, n_vec·interp_factor) with tail zero-padding.
     The fused :func:`range_angle_map` is the production path."""
+    vectors = cx.from_complex(vectors)
     n_vec = vectors.shape[-2]
-    t = jnp.swapaxes(vectors, -1, -2)
+    t = vectors.swapaxes(-1, -2)
     pad = n_vec * interp_factor - n_vec
-    return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, pad)])
+    return cx.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, pad)])
 
 
 class RangeAngleEstimate(NamedTuple):
@@ -120,7 +137,7 @@ class RangeAngleEstimate(NamedTuple):
 
 
 def range_angle_estimate(
-    ra_map: jax.Array,  # (n_range, n_angle) complex
+    ra_map: cx.CArray,  # (n_range, n_angle) complex pair
     range_bins: jax.Array,
     angle_bins: jax.Array,
     *,
@@ -134,8 +151,9 @@ def range_angle_estimate(
     Noise is measured in a wrapped patch centered at (peak_range + half the
     range axis, orthogonal angle = peak_angle + 90° wrapped into [-90, 90)).
     """
+    ra_map = cx.from_complex(ra_map)
     n_range, n_angle = ra_map.shape[-2], ra_map.shape[-1]
-    power = jnp.abs(ra_map) ** 2
+    power = cx.abs2(ra_map)
     flat_idx = jnp.argmax(power.reshape(*power.shape[:-2], -1), axis=-1)
     ri = flat_idx // n_angle
     ai = flat_idx % n_angle
@@ -193,7 +211,7 @@ class PeakDetection(NamedTuple):
 
 
 def fft_peak_detect(
-    spectrum: jax.Array,
+    spectrum: cx.CArray,
     sample_rate: float,
     *,
     samp_protect: int = 1,
@@ -201,14 +219,19 @@ def fft_peak_detect(
 ) -> PeakDetection:
     """Arg-max tone peak over |spectrum| with protected edge bins
     (lib/fft_peak_detect_impl.cc:77-111); used for array phase alignment."""
+    spectrum = cx.from_complex(spectrum)
     n = spectrum.shape[-1]
-    mag = jnp.abs(spectrum)
+    mag = cx.cabs(spectrum)
     idx = jnp.arange(n)
     protect = (idx < samp_protect) | (idx >= n - samp_protect)
     masked = jnp.where(protect, -jnp.inf, mag)
     pk = jnp.argmax(masked, axis=-1)
     mag_pk = jnp.take_along_axis(mag, pk[..., None], axis=-1)[..., 0]
-    phase = jnp.angle(jnp.take_along_axis(spectrum, pk[..., None], axis=-1))[..., 0]
+    pk_val = cx.CArray(
+        jnp.take_along_axis(spectrum.re, pk[..., None], axis=-1)[..., 0],
+        jnp.take_along_axis(spectrum.im, pk[..., None], axis=-1)[..., 0],
+    )
+    phase = cx.angle(pk_val)
     freq = jnp.where(pk < n // 2, pk, pk - n) * (sample_rate / n)
     detected = 20.0 * jnp.log10(jnp.maximum(mag_pk, 1e-30)) > threshold_db
     return PeakDetection(freq=freq, phase=phase, magnitude=mag_pk, detected=detected)

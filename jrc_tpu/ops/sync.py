@@ -1,4 +1,4 @@
-"""Frame detection and synchronization.
+"""Frame detection and synchronization (complex-free pair form).
 
 TPU-native replacement for the reference's per-sample state machines:
 
@@ -17,7 +17,9 @@ TPU-native replacement for the reference's per-sample state machines:
   (…:175-197).
 
 Everything is batched and jit-friendly; sample-serial recursions are replaced
-by cumsum/scan formulations with identical outputs.
+by cumsum/scan formulations with identical outputs. Complex samples are
+(re, im) pairs — the autocorrelation, matched filter, and CFO derotation are
+fused real VPU/MXU ops with no complex HLO (see ops/cplx.py).
 """
 from __future__ import annotations
 
@@ -28,32 +30,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
+from jrc_tpu.ops import cplx as cx
 
 
-def moving_sum(x: jax.Array, win: int) -> jax.Array:
+def moving_sum(x, win: int):
     """Trailing-window sum: out[n] = Σ_{k=0}^{win-1} x[n-k] (zeros history).
 
     Matches GNU Radio moving-average alignment (history-padded)."""
+    if isinstance(x, cx.CArray):
+        return cx.CArray(moving_sum(x.re, win), moving_sum(x.im, win))
     c = jnp.cumsum(x, axis=-1)
     pad = jnp.zeros((*x.shape[:-1], win), x.dtype)
     c_shift = jnp.concatenate([pad, c[..., :-win]], axis=-1) if x.shape[-1] > win else pad[..., : x.shape[-1]]
     return c - c_shift
 
 
-def autocorrelation(cfg: OFDMConfig, x: jax.Array):
+def autocorrelation(cfg: OFDMConfig, x: cx.CArray):
     """(autocorr a[n], normalized correlation cor[n]) per the detector chain.
 
     a[n] = Σ_{k<fft/2} conj(x[n-16-k])·x[n-k];
     cor[n] = |a[n]| / ((1/1.5)·Σ_{k<1.5·fft/2} |x[n-k]|²).
     """
+    x = cx.from_complex(x)
     lag = cfg.fft_len // 4
     win = cfg.fft_len // 2
     pwin = int(1.5 * win)
-    xd = jnp.concatenate([jnp.zeros((*x.shape[:-1], lag), x.dtype), x[..., :-lag]], axis=-1)
-    c = jnp.conj(xd) * x
+    xd = cx.concatenate([cx.zeros((*x.shape[:-1], lag)), x[..., :-lag]], axis=-1)
+    c = cx.mul_conj(x, xd)  # x · conj(x_delayed)
     a = moving_sum(c, win)
-    p = moving_sum(jnp.abs(x) ** 2, pwin) / 1.5
-    cor = jnp.abs(a) / jnp.maximum(p, 1e-12)
+    p = moving_sum(cx.abs2(x), pwin) / 1.5
+    cor = cx.cabs(a) / jnp.maximum(p, 1e-12)
     return a, cor
 
 
@@ -76,7 +82,7 @@ class Detections(NamedTuple):
 
 def detect_frames(
     cfg: OFDMConfig,
-    x: jax.Array,
+    x: cx.CArray,
     *,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
@@ -92,6 +98,7 @@ def detect_frames(
     """
     if ignore_gap is None:
         ignore_gap = (cfg.n_sync_words + cfg.n_tx) * cfg.sym_len
+    x = cx.from_complex(x)
     a, cor = autocorrelation(cfg, x)
     mask = (cor > threshold) & (cor < 2.0)
     runs = _run_lengths(mask)
@@ -115,7 +122,7 @@ def detect_frames(
     starts = jnp.sort(kept_idx)[:max_frames]
     valid = starts < n
     starts = jnp.where(valid, starts, -1)
-    cfo = jnp.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
+    cfo = cx.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
     cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)
     return Detections(start=starts, coarse_cfo=cfo, valid=valid)
 
@@ -126,24 +133,28 @@ class SyncResult(NamedTuple):
     found: jax.Array  # bool: a peak pair at lag fft_len(±1) existed
 
 
-def ltf_correlate(cfg: OFDMConfig, x: jax.Array) -> jax.Array:
-    """Matched-filter correlation: corr[n] = Σ_k conj(ltf_t[k])·x[n+k]."""
-    taps = jnp.asarray(np.conj(cfg.lltf_time))  # (fft_len,)
+def ltf_correlate(cfg: OFDMConfig, x: cx.CArray) -> cx.CArray:
+    """Matched-filter correlation: corr[n] = Σ_k conj(ltf_t[k])·x[n+k].
+
+    Expressed as sliding windows × a (fft_len, 2) constant — one small real
+    matmul per block, MXU-shaped."""
+    x = cx.from_complex(x)
+    taps = cx.from_complex(np.conj(np.asarray(cfg.lltf_time)))  # (fft_len,)
     n = x.shape[-1] - cfg.fft_len + 1
-    # correlation as a small dense matmul over sliding windows: (n, 64)·(64,)
     win_idx = jnp.arange(n)[:, None] + jnp.arange(cfg.fft_len)[None, :]
     windows = x[..., win_idx]
-    return jnp.einsum("...nk,k->...n", windows, taps)
+    return cx.einsum("...nk,k->...n", windows, taps)
 
 
-def search_frame_start(cfg: OFDMConfig, corr: jax.Array) -> SyncResult:
+def search_frame_start(cfg: OFDMConfig, corr: cx.CArray) -> SyncResult:
     """Top-4 |corr|² peak-pair search at index gap fft_len (±1).
 
     Mirrors lib/frame_sync_impl.cc:230-285 including the preference for an
     exact-gap pair (returns immediately) over ±1 pairs (keeps last found).
     """
+    corr = cx.from_complex(corr)
     n = corr.shape[-1]
-    mag2 = jnp.abs(corr) ** 2
+    mag2 = cx.abs2(corr)
     _, top_idx = jax.lax.top_k(mag2, 4)  # descending magnitude
     top_val = corr[top_idx]
 
@@ -155,13 +166,13 @@ def search_frame_start(cfg: OFDMConfig, corr: jax.Array) -> SyncResult:
         for k in range(i + 1, 4):
             ii, kk = top_idx[i], top_idx[k]
             vi, vk = top_val[i], top_val[k]
-            first = jnp.where(ii > kk, vk, vi)
-            second = jnp.where(ii > kk, vi, vk)
+            first = cx.where(ii > kk, vk, vi)
+            second = cx.where(ii > kk, vi, vk)
             diff = jnp.abs(ii - kk)
             start = jnp.minimum(ii, kk)
             for gap in (cfg.fft_len, cfg.fft_len - 1, cfg.fft_len + 1):
                 hit = (diff == gap) & (~exact_found)
-                cfo = jnp.angle(first * jnp.conj(second)) / gap
+                cfo = cx.angle(cx.mul_conj(first, second)) / gap
                 best_start = jnp.where(hit, start, best_start)
                 best_cfo = jnp.where(hit, cfo, best_cfo)
                 found = found | hit
@@ -192,7 +203,7 @@ def symbol_sample_offsets(cfg: OFDMConfig, n_sym: int) -> np.ndarray:
 
 def extract_frame(
     cfg: OFDMConfig,
-    x: jax.Array,
+    x: cx.CArray,
     trigger: jax.Array,
     coarse_cfo: jax.Array,
     n_sym: int,
@@ -201,22 +212,23 @@ def extract_frame(
     """Full sync for one detected frame: derotate from the trigger, find the
     LTF peak pair, apply fine derotation, gather CP-stripped symbols.
 
-    Returns (symbols (n_sym, fft_len) time-domain, total_cfo, found).
+    Returns (symbols (n_sym, fft_len) time-domain pair, total_cfo, found).
     ``n_sym`` counts from the first LTF copy (2 LTFs + SIG + ...).
     """
     if sync_length is None:
         sync_length = cfg.n_sync_words * cfg.sym_len
+    x = cx.from_complex(x)
     need = sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
     n = jnp.arange(need, dtype=jnp.float32)
-    window = jax.lax.dynamic_slice_in_dim(x, trigger, need, axis=-1)
-    window = window * jnp.exp(-1j * coarse_cfo * n)
+    window = cx.dynamic_slice_in_dim(x, trigger, need, axis=-1)
+    window = window * cx.expj(-coarse_cfo * n)
 
     corr = ltf_correlate(cfg, window[: sync_length + cfg.fft_len - 1])
     corr = corr[:sync_length]
     sr = search_frame_start(cfg, corr)
 
     # fine derotation with the reference's sign: out = in·exp(j·n·freq_offset)
-    window = window * jnp.exp(1j * sr.fine_cfo * n)
+    window = window * cx.expj(sr.fine_cfo * n)
 
     offs = jnp.asarray(symbol_sample_offsets(cfg, n_sym))
     idx = sr.frame_start + offs

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jrc_tpu.config import OFDMConfig
-from jrc_tpu.ops import radar
+from jrc_tpu.ops import cplx as cx, radar
 
 
 def batched_range_angle_maps(
@@ -32,9 +32,9 @@ def batched_range_angle_maps(
         maps = jax.vmap(
             lambda hh: radar.range_angle_map(hh, interp_factor_range, interp_factor_angle)
         )(h)
-        return jnp.abs(maps) ** 2
+        return cx.abs2(maps)
 
-    chans = jax.device_put(chans, NamedSharding(mesh, P("batch")))
+    chans = jax.device_put(cx.from_complex(chans), NamedSharding(mesh, P("batch")))
     return run(chans)
 
 
@@ -69,5 +69,5 @@ def batched_rx(
 
         return jax.vmap(one)(caps)
 
-    captures = jax.device_put(captures, NamedSharding(mesh, P("batch")))
+    captures = jax.device_put(cx.from_complex(captures), NamedSharding(mesh, P("batch")))
     return run(captures)

@@ -29,6 +29,7 @@ from jax import shard_map
 
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import streaming as block_rx
+from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -80,16 +81,21 @@ def sharded_rx(
     perm_right = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # head → left dev
     perm_left = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # tail → right dev
 
-    def block_fn(x_local):  # (block_len,) per device under shard_map
+    def _ppermute(z, perm):
+        return jax.tree.map(lambda a: jax.lax.ppermute(a, "time", perm), z)
+
+    def block_fn(x_local):  # (block_len,) pair per device under shard_map
         x_local = x_local.reshape(-1)[:block_len]
-        right_halo = jax.lax.ppermute(x_local[:halo], "time", perm_right)
-        left_halo = jax.lax.ppermute(x_local[-left_hist:], "time", perm_left)
+        right_halo = _ppermute(x_local[:halo], perm_right)
+        left_halo = _ppermute(x_local[-left_hist:], perm_left)
         my_id = jax.lax.axis_index("time")
         # the ring wraps: device 0 has no real left history, device n-1 no
         # real right continuation — zero them so no phantom frames appear
-        left_halo = jnp.where(my_id == 0, 0.0, left_halo)
-        right_halo = jnp.where(my_id == n_dev - 1, 0.0, right_halo)
-        x_ext = jnp.concatenate([left_halo, x_local, right_halo])
+        left_halo = jax.tree.map(lambda a: jnp.where(my_id == 0, 0.0, a), left_halo)
+        right_halo = jax.tree.map(
+            lambda a: jnp.where(my_id == n_dev - 1, 0.0, a), right_halo
+        )
+        x_ext = cx.concatenate([left_halo, x_local, right_halo], axis=-1)
         res = block_rx.rx_block(
             cfg, spec, x_ext, block_len, own_lo=left_hist,
             max_frames=max_frames_per_block, threshold=threshold,
@@ -120,7 +126,7 @@ def sharded_rx(
     )
     jitted = jax.jit(fn)
     sharding = NamedSharding(mesh, P("time"))
-    samples = jax.device_put(samples, sharding)
+    samples = jax.device_put(cx.from_complex(samples), sharding)
     payload, crc_ok, valid, snr, start, n_frames, n_ok = jitted(samples)
     return ShardedRxResult(
         payload=payload, crc_ok=crc_ok, valid=valid, snr_db=snr, start=start,
