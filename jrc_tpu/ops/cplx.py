@@ -114,6 +114,15 @@ class CArray:
     def __getitem__(self, idx) -> "CArray":
         return CArray(self.re[idx], self.im[idx])
 
+    def __array__(self, dtype=None, copy=None):
+        """numpy conversion protocol → complex ndarray in ONE device transfer.
+
+        Without this, ``np.asarray(carray)`` silently falls back to numpy's
+        generic-sequence path: one JAX gather dispatch per element — minutes
+        for a frame of samples instead of microseconds."""
+        out = np.asarray(self.re) + 1j * np.asarray(self.im)
+        return out.astype(dtype or np.complex64)
+
     # -- functional updates -------------------------------------------------
     @property
     def at(self) -> "_At":

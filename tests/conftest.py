@@ -17,10 +17,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is dominated by XLA compiles (2-core
-# host); cached repeat runs are several times faster.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# host); cached repeat runs are several times faster. Keyed per machine —
+# XLA:CPU AOT results from a different host's ISA fail to load (or SIGILL).
+from jrc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 import pytest
