@@ -9,28 +9,40 @@ on the accelerator. Prints ONE JSON line:
 
 vs_baseline is measured against the BASELINE north-star target of
 100 Msamples/s/chip through the full RX chain (the reference's own operating
-point is 125 Msps real-time on a host CPU for the streaming graph).
+point is 125 Msps real-time on a host CPU for the streaming graph,
+examples/usrp/mimo_ofdm_jrc_TRX.grc `samp_rate`).
 
-Robustness: the axon TPU runtime in this environment intermittently fails at
-execution or device→host transfer ("Unimplemented", with ~20 min terminal
-recovery). The bench therefore (a) keeps all compute in one jit, (b) only
-transfers a small float32 array, (c) falls back to the CPU backend — with the
-device recorded honestly in the JSON — if the accelerator path fails.
+Robustness contract (this environment's axon TPU tunnel):
+  * any PJRT call can hang for ~minutes if the tile is wedged — so the
+    accelerator attempt runs in a SUBPROCESS with a hard deadline and the
+    parent always prints a JSON line;
+  * complex64 buffers are UNIMPLEMENTED on the device — the capture is
+    shipped as a float32 (re, im) pair (the CArray layout the whole compute
+    path uses);
+  * device→host transfers are ~KB/s — only a (1, 2) float32 result array
+    ever crosses back;
+  * the sitecustomize force-sets jax_platforms="axon,cpu", so the CPU
+    fallback must explicitly select the cpu platform (env vars are ignored).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-from functools import partial
 
-import numpy as np
+BASELINE_SPS = 100e6  # north-star: 100 Msamples/s/chip full RX chain
+ACCEL_DEADLINE_S = 420
+CPU_DEADLINE_S = 420
+RESULT_TAG = "BENCH_RESULT:"
 
 
 def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
     """TX side on the CPU backend → numpy capture with frames + trailing halo."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from jrc_tpu.models import comm_link, streaming
     from jrc_tpu.ops import channel
@@ -68,11 +80,20 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
     """Compile + verify + time on one device. Raises on any failure."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from jrc_tpu.models import streaming
+    from jrc_tpu.ops import cplx as cx
 
     n_samples = block_len * n_blocks
-    x = jax.device_put(cap, dev)
+    # ship as float32 (re, im) pair: complex64 h2d is unimplemented on axon
+    x = jax.device_put(
+        cx.CArray(
+            np.ascontiguousarray(cap.real).astype(np.float32),
+            np.ascontiguousarray(cap.imag).astype(np.float32),
+        ),
+        dev,
+    )
 
     def counts(xx):
         res = streaming.scan_rx(
@@ -80,7 +101,7 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
             max_frames_per_block=max_frames,
         )
         # small float32 array out: scalar/int/complex transfers are
-        # unimplemented on some TPU runtimes
+        # unimplemented or pathologically slow on some TPU runtimes
         return jnp.stack(
             [
                 jnp.sum(res.valid.astype(jnp.float32)),
@@ -109,60 +130,92 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
     }
 
 
-def main():
+def worker(kind: str) -> int:
+    """Run one benchmark attempt; print RESULT_TAG + JSON on success."""
     import jax
 
-    # persistent compile cache: the axon remote compiler has variable latency
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from jrc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    if kind == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from jrc_tpu.config import MCS, OFDMConfig, PacketType
     from jrc_tpu.ops.encoder import FrameSpec
 
+    dev = jax.devices()[0]
+    if kind == "accel" and dev.platform == "cpu":
+        print(RESULT_TAG + json.dumps({"error": "no accelerator"}))
+        return 1
+
     block_len = 1 << 15
-    n_blocks = 32
+    n_blocks = 32 if kind == "accel" else 8
     n_samples = block_len * n_blocks
     cfg = OFDMConfig()
     spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
     cap, n_frames = build_capture(cfg, spec, n_samples)
-    max_frames = 12
+    res = run_on_device(
+        dev, cap, n_frames, cfg, spec, block_len, n_blocks,
+        max_frames=12, n_iter=10 if kind == "accel" else 2,
+    )
+    res["device"] = str(dev)
+    res["n_frames"] = n_frames
+    print(RESULT_TAG + json.dumps(res))
+    return 0
 
-    result = None
-    device_used = None
-    error = None
-    run = partial(run_on_device, cap=cap, n_frames=n_frames, cfg=cfg, spec=spec,
-                  block_len=block_len, n_blocks=n_blocks, max_frames=max_frames)
 
-    accel = jax.devices()[0]
-    if accel.platform != "cpu":
-        try:
-            result = run(accel)
-            device_used = str(accel)
-        except Exception as e:  # noqa: BLE001 — fall back, record why
-            error = f"{type(e).__name__}: {str(e)[:120]}"
-    if result is None:
-        cpu = jax.devices("cpu")[0]
-        result = run(cpu, n_iter=3)
-        device_used = str(cpu)
+def attempt(kind: str, deadline_s: float) -> dict | None:
+    """Run one worker in a subprocess with a hard deadline."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", kind],
+            capture_output=True, text=True, timeout=deadline_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"{kind} worker exceeded {deadline_s}s deadline"}
+    for line in proc.stdout.splitlines():
+        if line.startswith(RESULT_TAG):
+            return json.loads(line[len(RESULT_TAG):])
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"error": f"{kind} worker rc={proc.returncode}: "
+                     + " | ".join(tail[-2:])[:300]}
+
+
+def main() -> int:
+    result = attempt("accel", ACCEL_DEADLINE_S)
+    accel_error = result.get("error") if result else "no output"
+    if accel_error is not None:
+        result = attempt("cpu", CPU_DEADLINE_S)
+    if result is None or "error" in result:
+        print(json.dumps({
+            "metric": "jrc_rx_chain_throughput", "value": 0.0,
+            "unit": "samples/s/chip", "vs_baseline": 0.0,
+            "error": (result or {}).get("error", "no output"),
+            "accel_error": accel_error,
+        }))
+        return 1
 
     sps = result["sps"]
     out = {
         "metric": "jrc_rx_chain_throughput",
         "value": round(sps, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps / 100e6, 3),
-        "frames_per_capture": n_frames,
+        "vs_baseline": round(sps / BASELINE_SPS, 3),
+        "frames_per_capture": result["n_frames"],
         "frames_decoded": result["n_valid"],
         "crc_ok": result["n_crc"],
         "correct": result["correct"],
         "compile_s": round(result["compile_s"], 1),
-        "device": device_used,
+        "device": result["device"],
     }
-    if error:
-        out["accel_error"] = error
+    if accel_error:
+        out["accel_error"] = accel_error
     print(json.dumps(out))
     return 0 if result["correct"] else 1
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--worker":
+        sys.exit(worker(sys.argv[2]))
     sys.exit(main())
