@@ -173,6 +173,9 @@ class CArray:
     def conj(self) -> "CArray":
         return CArray(self.re, -self.im)
 
+    def __abs__(self):
+        return jnp.sqrt(self.re * self.re + self.im * self.im)
+
     def __repr__(self):
         return f"CArray(re={self.re!r}, im={self.im!r})"
 

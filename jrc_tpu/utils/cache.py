@@ -16,11 +16,22 @@ import platform
 def machine_fingerprint() -> str:
     bits = [platform.machine(), platform.processor()]
     try:
+        import jaxlib
+
+        bits.append(jaxlib.__version__)
+    except Exception:
+        pass
+    # The flags line alone is NOT enough: two hosts with identical cpuinfo
+    # flags can still make LLVM infer different target features (model-
+    # dependent tuning like prefer-no-scatter), and AOT results then fail to
+    # load / risk SIGILL. Key on the model line and every flag/bug line.
+    try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
+                if line.startswith(("flags", "model name", "microcode", "bugs")):
                     bits.append(line.strip())
-                    break
+                if line.strip() == "" and len(bits) > 3:
+                    break  # first core only
     except OSError:
         pass
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]

@@ -35,8 +35,8 @@ def test_radar_aided_beamforming_gain():
                           key=jax.random.key(0), radar_aided=True, comm_noise_var=NV)
     r1 = jrc_trx.jrc_step(CFG, r0.state, DATA_SPEC, DATA_PAYLOAD, TARGETS,
                           key=jax.random.key(1), radar_aided=True, comm_noise_var=NV)
-    h0 = float(jnp.abs(r0.comm.eq.chan_mean[0]))
-    h1 = float(jnp.abs(r1.comm.eq.chan_mean[0]))
+    h0 = float(abs(r0.comm.eq.chan_mean[0]))
+    h1 = float(abs(r1.comm.eq.chan_mean[0]))
     assert 20 * np.log10(h1 / h0) > 3.0
     assert bool(r1.comm.decoded.crc_ok)
 

@@ -86,7 +86,7 @@ def test_sim_trx_radar_alignment():
     assert burst.rx.shape[0] == CFG.n_rx
     n_sym = tx.grid.shape[0]
     y = ofdm.ofdm_demodulate(CFG, jnp.asarray(burst.rx), n_sym)
-    x_ref = jnp.swapaxes(tx.grid, 0, 1)
+    x_ref = tx.grid.swapaxes(0, 1)
     sl = slice(5, 5 + CFG.n_ltf)
     h = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
     ra = radar.range_angle_map(h)

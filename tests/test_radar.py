@@ -71,9 +71,9 @@ def test_background_removal_suppresses_static_clutter():
         CFG, SPEC, PAYLOAD, clutter, key=jax.random.key(9), background=bg
     )
     # after removal the static target power collapses
-    cleaned_peak = float(jnp.max(jnp.abs(res.ra_map)))
+    cleaned_peak = float(abs(res.ra_map).max())
     res_nobg = radar_chain.radar_frame(CFG, SPEC, PAYLOAD, clutter, key=jax.random.key(9))
-    raw_peak = float(jnp.max(jnp.abs(res_nobg.ra_map)))
+    raw_peak = float(abs(res_nobg.ra_map).max())
     assert cleaned_peak < 0.05 * raw_peak
 
 

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import MCS, OFDMConfig, PacketType
-from jrc_tpu.ops import sync, ofdm
+from jrc_tpu.ops import sync, ofdm, cplx as cx
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.models import comm_link
 
@@ -15,7 +15,7 @@ def _frame_samples(cfg, seed=0, pad_front=400):
     tx = comm_link.tx_frame(cfg, spec, payload, 1, pad_front=pad_front, pad_tail=200,
                             rng_key=jax.random.key(seed))
     # single-antenna sum (all antennas at broadside)
-    return jnp.sum(tx.samples, axis=0), spec
+    return cx.sum(tx.samples, axis=0), spec
 
 
 def test_moving_sum_matches_numpy(rng):
@@ -55,8 +55,8 @@ def test_detect_cfo_estimate(rng):
 def test_two_frames_detected(rng):
     cfg = OFDMConfig()
     x, _ = _frame_samples(cfg)
-    gap = jnp.zeros(1000, x.dtype)
-    xx = jnp.concatenate([x, gap, x])
+    gap = cx.zeros(1000)
+    xx = cx.concatenate([x, gap, x])
     det = sync.detect_frames(cfg, xx, max_frames=4)
     assert bool(det.valid[0]) and bool(det.valid[1])
     assert int(det.start[1]) - int(det.start[0]) == x.shape[0] + 1000
@@ -68,7 +68,7 @@ def test_ltf_sync_finds_peak_pair(rng):
     x, spec = _frame_samples(cfg)
     det = sync.detect_frames(cfg, x, max_frames=1)
     n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
-    x_padded = jnp.concatenate([x, jnp.zeros(1000, x.dtype)])
+    x_padded = cx.concatenate([x, cx.zeros(1000)])
     syms, cfo, found = sync.extract_frame(cfg, x_padded, det.start[0], det.coarse_cfo[0], n_sym)
     assert bool(found)
     # the two LTF symbols must FFT to ltf·H with H ≈ const ⇒ symbol 0 ≈ symbol 1
