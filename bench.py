@@ -87,7 +87,9 @@ def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
 
 def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames,
                   n_iter=10):
-    """Compile + verify + time on one device. Raises on any failure."""
+    """Compile + time + verify on one device; yields a preliminary
+    (timing-only) result before the verification d2h, then the verified
+    upgrade. Raises on any failure."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -133,21 +135,26 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
     out0 = jax.block_until_ready(f(x))
     compile_s = time.time() - t0
     _log(f"compile+first-run {compile_s:.1f}s")
-    host = np.asarray(out0)  # instant now; raises if buffers were poisoned
-    n_valid, n_crc = int(host[0, 0]), int(host[0, 1])
-    _log(f"verified {n_valid}/{n_frames} frames, crc {n_crc}")
 
-    # Timing loop, force-synced by a tiny d2h of the final output (channel
-    # is warm ⇒ the transfer itself is microseconds, amortized over n_iter).
+    # Timing loop BEFORE the verification readback, force-synced by a tiny
+    # d2h of the final output (channel is warm ⇒ the transfer itself is
+    # microseconds, amortized over n_iter).
     t0 = time.time()
     for _ in range(n_iter):
         out = f(x)
     np.asarray(out)
     dt = (time.time() - t0) / n_iter
     _log(f"timing {n_iter} iters, {dt * 1e3:.1f} ms/iter")
+    prelim = {"sps": n_samples / dt, "compile_s": compile_s, "verified": False}
+    # preliminary (timing-only) result first: if the verification d2h below
+    # wedges past the deadline, the parent salvages this line
+    yield dict(prelim)
+
+    host = np.asarray(out0)  # raises if buffers were poisoned
+    n_valid, n_crc = int(host[0, 0]), int(host[0, 1])
+    _log(f"verified {n_valid}/{n_frames} frames, crc {n_crc}")
     yield {
-        "sps": n_samples / dt,
-        "compile_s": compile_s,
+        **prelim,
         "verified": True,
         "n_valid": n_valid,
         "n_crc": n_crc,
@@ -222,7 +229,10 @@ def _collect(proc: subprocess.Popen, kind: str, deadline_s: float) -> dict:
     result = None
     for line in (stdout or "").splitlines():
         if line.startswith(RESULT_TAG):
-            result = json.loads(line[len(RESULT_TAG):])
+            try:
+                result = json.loads(line[len(RESULT_TAG):])
+            except json.JSONDecodeError:
+                pass  # proc.kill() can truncate the final line mid-write
     if result is not None:
         if timed_out:
             result["verify_error"] = f"killed at {deadline_s:.0f}s deadline"

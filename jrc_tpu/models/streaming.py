@@ -97,37 +97,52 @@ def scan_rx(
     max_frames_per_block: int = 8,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    batched: bool = True,
 ) -> BlockRxResult:
-    """Sequentially stream ``n_blocks`` fixed-size blocks through ONE compiled
-    rx_block body (``lax.scan``) — small program, arbitrarily long capture.
+    """Stream ``n_blocks`` fixed-size blocks through the rx_block body.
 
-    This is the single-device analog of the sharded executor: the same
-    [left-history | block | halo] window semantics, the ownership rule, and
-    exactly-once frame decode; the sharded version distributes the scan axis
-    over the mesh instead.
+    Blocks are independent given the ``[left-history | block | halo]`` window
+    (same ownership rule the sharded executor uses over the mesh), so the
+    default formulation is **batched**: all block windows are gathered into a
+    (n_blocks, window) tensor and `vmap(rx_block)` processes them at once —
+    every sequential trellis/scan step then carries an (n_blocks·max_frames)
+    batch instead of being replayed per block. ``batched=False`` falls back
+    to a sequential ``lax.scan`` (small program, O(1) memory in n_blocks) for
+    very long captures.
     """
     halo = frame_window_samples(cfg, spec) + cfg.fft_len
     left_hist = left_history_samples(cfg)
     x = cx.from_complex(x)
     assert x.shape[-1] >= n_blocks * block_len + halo
     xp = cx.concatenate([cx.zeros(left_hist), x], axis=-1)
+    window = left_hist + block_len + halo
 
-    def body(_, b):
-        start = b * block_len
-        blk = cx.dynamic_slice_in_dim(
-            xp, start, left_hist + block_len + halo
-        )
-        res = rx_block(
+    def one_block(blk):
+        return rx_block(
             cfg, spec, blk, block_len, own_lo=left_hist,
             max_frames=max_frames_per_block, threshold=threshold,
             min_n_peaks=min_n_peaks,
         )
-        out = res._replace(
-            start=jnp.where(res.valid, res.start + start, -1)
-        )
-        return None, out
 
-    _, results = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    if batched:
+        starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
+        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        blocks = xp[idx]  # (n_blocks, window)
+        res = jax.vmap(one_block)(blocks)
+        results = res._replace(
+            start=jnp.where(res.valid, res.start + starts[:, None], -1)
+        )
+    else:
+        def body(_, b):
+            start = b * block_len
+            blk = cx.dynamic_slice_in_dim(xp, start, window)
+            res = one_block(blk)
+            out = res._replace(
+                start=jnp.where(res.valid, res.start + start, -1)
+            )
+            return None, out
+
+        _, results = jax.lax.scan(body, None, jnp.arange(n_blocks))
     # (n_blocks, max_frames, ...) → flatten the frame-slot axis
     return BlockRxResult(*[
         r.reshape(-1, *r.shape[2:]) for r in results

@@ -121,7 +121,13 @@ class CArray:
         generic-sequence path: one JAX gather dispatch per element — minutes
         for a frame of samples instead of microseconds."""
         out = np.asarray(self.re) + 1j * np.asarray(self.im)
-        return out.astype(dtype or np.complex64)
+        if dtype is None:
+            # preserve float64 pairs as complex128; don't silently downcast
+            dtype = np.result_type(out.dtype, np.complex64)
+            return out.astype(dtype, copy=False)
+        # explicit dtype: let numpy's own casting rules (ComplexWarning /
+        # ValueError on complex→real) surface instead of masking them
+        return out.astype(dtype)
 
     # -- functional updates -------------------------------------------------
     @property
@@ -174,7 +180,7 @@ class CArray:
         return CArray(self.re, -self.im)
 
     def __abs__(self):
-        return jnp.sqrt(self.re * self.re + self.im * self.im)
+        return cabs(self)
 
     def __repr__(self):
         return f"CArray(re={self.re!r}, im={self.im!r})"

@@ -78,6 +78,29 @@ class Detections(NamedTuple):
     start: jax.Array  # (max_frames,) int32 trigger sample index (-1 = none)
     coarse_cfo: jax.Array  # (max_frames,) float32 rad/sample
     valid: jax.Array  # (max_frames,) bool
+    n_candidates: jax.Array  # int32: raw trigger-cluster count before the
+    #                          max_frames·4 candidate cap (overflow detector)
+
+
+def _gap_tolerant_triggers(
+    mask: jax.Array, min_n_peaks: int, max_peak_distance: int
+) -> jax.Array:
+    """Trigger mask per the reference's SEARCH counter
+    (lib/frame_detector_impl.cc:89-134): a trigger fires at a peak when
+    ``min_n_peaks`` peaks have accumulated and the current peak is within
+    ``MAX_PEAK_DISTANCE`` of the group's first — i.e. at peak number k when
+    peak k−min_n_peaks lies < max_peak_distance behind. Peaks need NOT be
+    consecutive; noise dips inside the plateau don't reset the count.
+    """
+    n = mask.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    count = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # k at each peak
+    # pos_of_peak[j] = sample index of the j-th peak (1-based), n if absent
+    pos = jnp.full(n + 1, n, jnp.int32).at[jnp.where(mask, count, 0)].set(
+        jnp.where(mask, idx, n), mode="drop"
+    ).at[0].set(-(10**9))
+    anchor = pos[jnp.maximum(count - min_n_peaks, 0)]
+    return mask & (count > min_n_peaks) & (idx - anchor < max_peak_distance)
 
 
 def detect_frames(
@@ -88,24 +111,37 @@ def detect_frames(
     min_n_peaks: int = 10,
     max_frames: int = 8,
     ignore_gap: int | None = None,
+    strict_runs: bool = False,
 ) -> Detections:
     """Find STF plateaus in a 1-D sample block.
 
-    A trigger fires when ``min_n_peaks`` consecutive samples satisfy
-    thr < cor < 2 (the reference counts peaks within a small max distance —
-    on an STF plateau these coincide). Triggers within ``ignore_gap`` samples
-    of a previous trigger are suppressed (lib/frame_detector_impl.cc:184-188).
+    Default (reference parity): a trigger fires at the (min_n_peaks+1)-th
+    suprathreshold sample (thr < cor < 2) within ``MAX_PEAK_DISTANCE =
+    2·(fft+cp)`` of the first (lib/frame_detector_impl.cc:57,89-134) —
+    robust to noise dips inside the plateau. ``strict_runs=True`` selects
+    the stricter consecutive-run variant (cheaper, needs clean plateaus).
+    Triggers within ``ignore_gap`` samples of a previous trigger are
+    suppressed (lib/frame_detector_impl.cc:184-188).
     """
     if ignore_gap is None:
         ignore_gap = (cfg.n_sync_words + cfg.n_tx) * cfg.sym_len
     x = cx.from_complex(x)
     a, cor = autocorrelation(cfg, x)
     mask = (cor > threshold) & (cor < 2.0)
-    runs = _run_lengths(mask)
-    trigger = runs == min_n_peaks  # fires exactly once per plateau entry
-
     n = x.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
+    if strict_runs:
+        runs = _run_lengths(mask)
+        trigger = runs == min_n_peaks  # fires exactly once per plateau entry
+    else:
+        max_peak_distance = 2 * cfg.sym_len
+        trigger = _gap_tolerant_triggers(mask, min_n_peaks, max_peak_distance)
+        # sparsify to one candidate per trigger cluster (every further peak
+        # of a plateau also satisfies the window condition): keep only
+        # triggers with no other trigger in the preceding window
+        recent = moving_sum(trigger.astype(jnp.int32), max_peak_distance)
+        trigger = trigger & (recent - trigger.astype(jnp.int32) == 0)
+
     trig_idx = jnp.where(trigger, idx, n)
     # pull the K earliest candidate triggers (K small), then run the
     # near-trigger suppression scan over only those K — keeps the sequential
@@ -124,7 +160,10 @@ def detect_frames(
     starts = jnp.where(valid, starts, -1)
     cfo = cx.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
     cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)
-    return Detections(start=starts, coarse_cfo=cfo, valid=valid)
+    n_candidates = jnp.sum(trigger.astype(jnp.int32), axis=-1)
+    return Detections(
+        start=starts, coarse_cfo=cfo, valid=valid, n_candidates=n_candidates
+    )
 
 
 class SyncResult(NamedTuple):
