@@ -36,25 +36,42 @@ class BlockStreamer:
     def __init__(
         self,
         cfg: OFDMConfig,
-        spec: FrameSpec,
+        spec: FrameSpec | None,
         *,
         block_len: int = 1 << 17,
         max_frames: int = 64,
+        max_payload: int = 256,
         ring_capacity: int | None = None,
         jit: bool = True,
     ):
+        """``spec=None`` selects the SIG-driven dynamic kernel: each frame's
+        MCS/length/type is discovered from its SIG field (mixed traffic),
+        bounded by ``max_payload``. A concrete ``spec`` compiles the faster
+        static-geometry kernel."""
         import jax
 
         self.cfg = cfg
         self.spec = spec
         self.block_len = block_len
-        self.halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
+        if spec is None:
+            self.halo = (
+                block_rx.frame_window_samples_dynamic(cfg, max_payload)
+                + cfg.fft_len
+            )
+            fn = partial(
+                block_rx.rx_block_dynamic, cfg,
+                block_len=block_len, own_lo=block_rx.left_history_samples(cfg),
+                max_frames=max_frames, max_payload=max_payload,
+            )
+        else:
+            self.halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
+            fn = partial(
+                block_rx.rx_block, cfg, spec,
+                block_len=block_len, own_lo=block_rx.left_history_samples(cfg),
+                max_frames=max_frames,
+            )
         self.left_hist = block_rx.left_history_samples(cfg)
         self.ring = IQRing(ring_capacity or 4 * block_len)
-        fn = partial(
-            block_rx.rx_block, cfg, spec,
-            block_len=block_len, own_lo=self.left_hist, max_frames=max_frames,
-        )
         self._rx = jax.jit(fn) if jit else fn
         self.stats = StreamStats()
 

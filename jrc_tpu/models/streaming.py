@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
-from jrc_tpu.ops import cplx as cx, decoder, equalizer, ofdm, sync
+from jrc_tpu.ops import cplx as cx, decoder, dynamic_rx, equalizer, ofdm, sync
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -145,5 +145,121 @@ def scan_rx(
         _, results = jax.lax.scan(body, None, jnp.arange(n_blocks))
     # (n_blocks, max_frames, ...) → flatten the frame-slot axis
     return BlockRxResult(*[
+        r.reshape(-1, *r.shape[2:]) for r in results
+    ])
+
+
+# ---------------------------------------------------------------------------
+# SIG-driven dynamic streaming: MCS / length / packet type discovered per
+# frame from the SIG field (reference lib/mimo_ofdm_equalizer_impl.cc:650-781,
+# lib/stream_decoder_impl.cc:129-172) — one compiled program covers the whole
+# MCS × length envelope. The static-spec path above remains as the fast
+# known-spec specialization.
+# ---------------------------------------------------------------------------
+
+
+class DynBlockRxResult(NamedTuple):
+    payload: jax.Array  # (max_frames, max_payload) uint8
+    payload_len: jax.Array  # (max_frames,) bytes (without CRC)
+    crc_ok: jax.Array  # (max_frames,)
+    sig_ok: jax.Array  # (max_frames,)
+    mcs: jax.Array  # (max_frames,) int32 MCS index from SIG
+    packet_type_bit: jax.Array  # (max_frames,) 0=NDP 1=DATA
+    snr_db: jax.Array  # (max_frames,)
+    start: jax.Array  # (max_frames,) trigger index
+    valid: jax.Array  # (max_frames,)
+
+
+def frame_window_samples_dynamic(cfg: OFDMConfig, max_payload: int) -> int:
+    """Samples needed from a trigger for the worst-case dynamic frame
+    (BPSK-1/2 at max_payload)."""
+    n_sym = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
+    sync_length = cfg.n_sync_words * cfg.sym_len
+    return sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
+
+
+def rx_block_dynamic(
+    cfg: OFDMConfig,
+    x: jax.Array,  # (left_hist + block_len + halo,) samples
+    block_len: int,
+    *,
+    own_lo: int = 0,
+    max_frames: int = 8,
+    max_payload: int = 256,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+) -> DynBlockRxResult:
+    """Detect every owned frame and decode it with SIG-discovered
+    MCS/length/type (mixed-traffic captures: interleaved MCS, NDP + DATA)."""
+    x = cx.from_complex(x)
+    det = sync.detect_frames(
+        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+    )
+    owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
+    starts = jnp.where(owned, det.start, 0)
+
+    frames = jax.vmap(
+        lambda t, c: dynamic_rx.rx_frame_dynamic(
+            cfg, x, t, c, max_payload=max_payload
+        )
+    )(starts, det.coarse_cfo)
+    return DynBlockRxResult(
+        payload=frames.payload,
+        payload_len=jnp.where(owned, frames.payload_len, 0),
+        crc_ok=frames.crc_ok & owned,
+        sig_ok=frames.sig_ok & owned,
+        mcs=frames.mcs,
+        packet_type_bit=frames.packet_type_bit,
+        snr_db=frames.snr_db,
+        start=jnp.where(owned, det.start - own_lo, -1),
+        valid=owned,
+    )
+
+
+def scan_rx_dynamic(
+    cfg: OFDMConfig,
+    x: jax.Array,  # (n_blocks·block_len + halo,) samples
+    block_len: int,
+    n_blocks: int,
+    *,
+    max_frames_per_block: int = 8,
+    max_payload: int = 256,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    batched: bool = True,
+) -> DynBlockRxResult:
+    """Dynamic-RX analog of :func:`scan_rx`: all blocks processed as one
+    vmapped batch (or a sequential scan with ``batched=False``)."""
+    halo = frame_window_samples_dynamic(cfg, max_payload) + cfg.fft_len
+    left_hist = left_history_samples(cfg)
+    x = cx.from_complex(x)
+    assert x.shape[-1] >= n_blocks * block_len + halo
+    xp = cx.concatenate([cx.zeros(left_hist), x], axis=-1)
+    window = left_hist + block_len + halo
+
+    def one_block(blk):
+        return rx_block_dynamic(
+            cfg, blk, block_len, own_lo=left_hist,
+            max_frames=max_frames_per_block, max_payload=max_payload,
+            threshold=threshold, min_n_peaks=min_n_peaks,
+        )
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
+    if batched:
+        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        res = jax.vmap(one_block)(xp[idx])
+        results = res._replace(
+            start=jnp.where(res.valid, res.start + starts[:, None], -1)
+        )
+    else:
+        def body(_, b):
+            blk = cx.dynamic_slice_in_dim(xp, b * block_len, window)
+            res = one_block(blk)
+            return None, res._replace(
+                start=jnp.where(res.valid, res.start + b * block_len, -1)
+            )
+
+        _, results = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    return DynBlockRxResult(*[
         r.reshape(-1, *r.shape[2:]) for r in results
     ])

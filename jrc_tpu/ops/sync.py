@@ -142,12 +142,16 @@ def detect_frames(
         recent = moving_sum(trigger.astype(jnp.int32), max_peak_distance)
         trigger = trigger & (recent - trigger.astype(jnp.int32) == 0)
 
-    trig_idx = jnp.where(trigger, idx, n)
     # pull the K earliest candidate triggers (K small), then run the
     # near-trigger suppression scan over only those K — keeps the sequential
-    # part O(max_frames), not O(n_samples)
+    # part O(max_frames), not O(n_samples). Extraction is rank-scatter
+    # (cumsum + one scatter), NOT top_k: XLA's sort-based TopK over the whole
+    # block was the single hottest op of the RX chain on TPU.
     k_cand = max_frames * 4
-    cand = -jax.lax.top_k(-trig_idx, k_cand)[0]  # K smallest, ascending
+    rank = jnp.cumsum(trigger.astype(jnp.int32), axis=-1) - 1  # 0-based
+    cand = jnp.full(k_cand, n, jnp.int32).at[
+        jnp.where(trigger, rank, k_cand)
+    ].set(jnp.where(trigger, idx, n), mode="drop")  # ascending by construction
 
     def keep_scan(last_kept, i):
         keep = (i < n) & (i >= last_kept + ignore_gap)

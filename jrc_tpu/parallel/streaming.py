@@ -13,12 +13,18 @@ block, ring-buffer backpressure) with SPMD over a named mesh:
 * per-block decode results come back `P('time')`-sharded; link totals
   (frame/CRC counts) reduce with `psum` over ICI.
 
+The jitted step is built ONCE per (config, spec, mesh, geometry) via an
+LRU-cached factory — repeated `sharded_rx` calls reuse the compiled
+executable, the shape a production streaming loop needs. Both the
+static-spec fast path and the SIG-driven dynamic path (mixed MCS / NDP
+traffic, reference lib/mimo_ofdm_equalizer_impl.cc:650-781) are available.
+
 The same code runs on one chip (mesh of 1), a full host, or a multi-host
 platform via `jax.distributed` — the mesh is the only knob.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -50,28 +56,42 @@ class ShardedRxResult(NamedTuple):
     n_crc_ok: jax.Array  # scalar
 
 
-def sharded_rx(
-    cfg: OFDMConfig,
-    spec: FrameSpec,
-    mesh: Mesh,
-    samples: jax.Array,  # (n_samples,) — must divide evenly by mesh size
-    *,
-    max_frames_per_block: int = 8,
-    threshold: float = 0.6,
-    min_n_peaks: int = 10,
-    estimator: str = "ls",
-    soft: bool = False,
-):
-    """Build the jitted sharded streaming RX step and run it.
+class ShardedDynRxResult(NamedTuple):
+    payload: jax.Array  # (n_blocks, max_frames, max_payload)
+    payload_len: jax.Array
+    crc_ok: jax.Array
+    sig_ok: jax.Array
+    mcs: jax.Array
+    packet_type_bit: jax.Array
+    valid: jax.Array
+    snr_db: jax.Array
+    start: jax.Array
+    n_frames: jax.Array
+    n_crc_ok: jax.Array
 
-    Returns a :class:`ShardedRxResult` with per-block frame slots and
-    psum-reduced totals.
-    """
+
+@lru_cache(maxsize=64)
+def _build_sharded_rx(
+    cfg: OFDMConfig,
+    spec: FrameSpec | None,
+    mesh: Mesh,
+    block_len: int,
+    max_frames: int,
+    threshold: float,
+    min_n_peaks: int,
+    estimator: str,
+    soft: bool,
+    max_payload: int,
+):
+    """Build + jit the sharded streaming step once per unique geometry.
+
+    ``spec=None`` selects the SIG-driven dynamic path."""
     n_dev = mesh.devices.size
-    n = samples.shape[-1]
-    assert n % n_dev == 0, (n, n_dev)
-    block_len = n // n_dev
-    halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
+    dynamic = spec is None
+    if dynamic:
+        halo = block_rx.frame_window_samples_dynamic(cfg, max_payload) + cfg.fft_len
+    else:
+        halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
     left_hist = block_rx.left_history_samples(cfg)
     assert halo <= block_len and left_hist <= block_len, (
         f"block_len {block_len} must exceed halo {halo} and history "
@@ -96,35 +116,69 @@ def sharded_rx(
             lambda a: jnp.where(my_id == n_dev - 1, 0.0, a), right_halo
         )
         x_ext = cx.concatenate([left_halo, x_local, right_halo], axis=-1)
-        res = block_rx.rx_block(
-            cfg, spec, x_ext, block_len, own_lo=left_hist,
-            max_frames=max_frames_per_block, threshold=threshold,
-            min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
-        )
         t = jax.lax.axis_index("time").astype(jnp.int32)
+        if dynamic:
+            res = block_rx.rx_block_dynamic(
+                cfg, x_ext, block_len, own_lo=left_hist,
+                max_frames=max_frames, max_payload=max_payload,
+                threshold=threshold, min_n_peaks=min_n_peaks,
+            )
+        else:
+            res = block_rx.rx_block(
+                cfg, spec, x_ext, block_len, own_lo=left_hist,
+                max_frames=max_frames, threshold=threshold,
+                min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
+            )
         global_start = jnp.where(res.valid, res.start + t * block_len, -1)
         n_frames = jax.lax.psum(jnp.sum(res.valid.astype(jnp.int32)), "time")
         n_ok = jax.lax.psum(jnp.sum(res.crc_ok.astype(jnp.int32)), "time")
+        if dynamic:
+            return (
+                res.payload[None], res.payload_len[None], res.crc_ok[None],
+                res.sig_ok[None], res.mcs[None], res.packet_type_bit[None],
+                res.valid[None], res.snr_db[None], global_start[None],
+                n_frames, n_ok,
+            )
         return (
-            res.payload[None],
-            res.crc_ok[None],
-            res.valid[None],
-            res.snr_db[None],
-            global_start[None],
-            n_frames,
-            n_ok,
+            res.payload[None], res.crc_ok[None], res.valid[None],
+            res.snr_db[None], global_start[None], n_frames, n_ok,
         )
 
+    n_sharded = 9 if dynamic else 5
     fn = shard_map(
         block_fn,
         mesh=mesh,
         in_specs=P("time"),
-        out_specs=(
-            P("time"), P("time"), P("time"), P("time"), P("time"), P(), P(),
-        ),
+        out_specs=tuple([P("time")] * n_sharded + [P(), P()]),
         check_vma=False,
     )
-    jitted = jax.jit(fn)
+    return jax.jit(fn)
+
+
+def sharded_rx(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    mesh: Mesh,
+    samples: jax.Array,  # (n_samples,) — must divide evenly by mesh size
+    *,
+    max_frames_per_block: int = 8,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
+) -> ShardedRxResult:
+    """Run the cached jitted sharded streaming RX step (static known spec).
+
+    Returns a :class:`ShardedRxResult` with per-block frame slots and
+    psum-reduced totals.
+    """
+    n_dev = mesh.devices.size
+    n = samples.shape[-1]
+    assert n % n_dev == 0, (n, n_dev)
+    jitted = _build_sharded_rx(
+        cfg, spec, mesh, n // n_dev, max_frames_per_block, threshold,
+        min_n_peaks, estimator, soft, 0,
+    )
     sharding = NamedSharding(mesh, P("time"))
     samples = jax.device_put(cx.from_complex(samples), sharding)
     payload, crc_ok, valid, snr, start, n_frames, n_ok = jitted(samples)
@@ -132,3 +186,28 @@ def sharded_rx(
         payload=payload, crc_ok=crc_ok, valid=valid, snr_db=snr, start=start,
         n_frames=n_frames, n_crc_ok=n_ok,
     )
+
+
+def sharded_rx_dynamic(
+    cfg: OFDMConfig,
+    mesh: Mesh,
+    samples: jax.Array,
+    *,
+    max_frames_per_block: int = 8,
+    max_payload: int = 256,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+) -> ShardedDynRxResult:
+    """SIG-driven dynamic variant: every device decodes whatever MCS/length/
+    type its owned frames announce (mixed-traffic captures)."""
+    n_dev = mesh.devices.size
+    n = samples.shape[-1]
+    assert n % n_dev == 0, (n, n_dev)
+    jitted = _build_sharded_rx(
+        cfg, None, mesh, n // n_dev, max_frames_per_block, threshold,
+        min_n_peaks, "ls", False, max_payload,
+    )
+    sharding = NamedSharding(mesh, P("time"))
+    samples = jax.device_put(cx.from_complex(samples), sharding)
+    out = jitted(samples)
+    return ShardedDynRxResult(*out)

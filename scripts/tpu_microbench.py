@@ -70,18 +70,25 @@ def main() -> int:
         rng.standard_normal((B, 2 * T)).astype(np.float32), dev
     )
 
-    for unroll in (8, 16, 32):
-        bench(
-            f"viterbi_scan_B{B}_T{T}_u{unroll}",
-            lambda v, u=unroll: viterbi.viterbi_decode(v, unroll=u),
-            values,
-        )
-    for chunk in (32, 64, 144):
-        bench(
-            f"viterbi_chunked_B{B}_T{T}_c{chunk}",
-            lambda v, c=chunk: viterbi.viterbi_decode_chunked(v, chunk_len=c),
-            values,
-        )
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else None
+
+    def want(tag):
+        return only is None or tag in only
+
+    if want("viterbi"):
+        for unroll in (8, 16, 32):
+            bench(
+                f"viterbi_scan_B{B}_T{T}_u{unroll}",
+                lambda v, u=unroll: viterbi.viterbi_decode(v, unroll=u),
+                values,
+            )
+    if want("viterbi_chunked"):
+        for chunk in (32, 64, 144):
+            bench(
+                f"viterbi_chunked_B{B}_T{T}_c{chunk}",
+                lambda v, c=chunk: viterbi.viterbi_decode_chunked(v, chunk_len=c),
+                values,
+            )
 
     # full RX chain at bench shapes, batched vs sequential-scan block axis
     from bench import build_capture
@@ -107,15 +114,16 @@ def main() -> int:
              jnp.sum(res.crc_ok.astype(jnp.float32))]
         ).reshape(1, 2)
 
-    for batched in (True, False):
-        dt = bench(
-            f"scan_rx_{'batched' if batched else 'seq'}",
-            lambda xx, b=batched: chain(xx, b),
-            x, n_iter=10,
-        )
-        sps = block_len * n_blocks / dt
-        print(json.dumps({"name": "throughput", "batched": batched,
-                          "Msps": round(sps / 1e6, 1)}), flush=True)
+    if want("chain"):
+        for batched in (True,):
+            dt = bench(
+                f"scan_rx_{'batched' if batched else 'seq'}",
+                lambda xx, b=batched: chain(xx, b),
+                x, n_iter=10,
+            )
+            sps = block_len * n_blocks / dt
+            print(json.dumps({"name": "throughput", "batched": batched,
+                              "Msps": round(sps / 1e6, 1)}), flush=True)
 
     # stage-level: detection only vs full chain
     def det_only(xx):
@@ -132,7 +140,42 @@ def main() -> int:
         )(blocks)
         return jnp.sum(det.valid.astype(jnp.float32)).reshape(1, 1)
 
-    bench("detect_only_batched", det_only, x, n_iter=10)
+    if want("detect"):
+        bench("detect_only_batched", det_only, x, n_iter=10)
+
+    if want("detstages"):
+        from jrc_tpu.ops import sync
+
+        halo = streaming.frame_window_samples(cfg, spec) + cfg.fft_len
+        lh = streaming.left_history_samples(cfg)
+        window = lh + block_len + halo
+
+        def blocks_of(xx):
+            xp = cx.concatenate([cx.zeros(lh), xx], axis=-1)
+            starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
+            idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+            return xp[idx]
+
+        def autocorr_only(xx):
+            a, cor = jax.vmap(lambda b: sync.autocorrelation(cfg, b))(
+                cx.from_complex(blocks_of(xx))
+            )
+            return jnp.sum(cor).reshape(1, 1)
+
+        def gather_only(xx):
+            return jnp.sum(blocks_of(xx).re).reshape(1, 1)
+
+        def trig_only(xx):
+            def per_block(b):
+                a, cor = sync.autocorrelation(cfg, cx.from_complex(b))
+                mask = (cor > 0.6) & (cor < 2.0)
+                t = sync._gap_tolerant_triggers(mask, 10, 2 * cfg.sym_len)
+                return jnp.sum(t.astype(jnp.float32))
+            return jnp.sum(jax.vmap(per_block)(blocks_of(xx))).reshape(1, 1)
+
+        bench("det_gather_only", gather_only, x, n_iter=10)
+        bench("det_autocorr", autocorr_only, x, n_iter=10)
+        bench("det_autocorr_trig", trig_only, x, n_iter=10)
     return 0
 
 
