@@ -106,6 +106,7 @@ def jrc_step(
     phased_steering: bool = True,
     smoothing: bool = False,
     use_radar_streams: bool = False,
+    background_record: bool = True,
     comm_angle_deg: float | None = None,
     comm_path_loss: float = 20.0,
     comm_snr_db: float = 25.0,
@@ -162,7 +163,9 @@ def jrc_step(
     n_pre = cfg.n_sync_words + 1
     sl = slice(n_pre, n_pre + cfg.n_ltf)
     h_radar = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
-    h_clean, background = radar.background_removal(state.background, h_radar)
+    h_clean, background = radar.background_removal(
+        state.background, h_radar, record=background_record
+    )
     ra_map = radar.range_angle_map(h_clean, interp_factor_range, interp_factor_angle)
     est = radar.range_angle_estimate(
         ra_map,

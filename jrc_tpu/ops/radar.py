@@ -65,20 +65,28 @@ def init_background(record_len: int, n_virt: int, fft_len: int) -> BackgroundSta
 
 
 def background_removal(
-    state: BackgroundState, h: cx.CArray
+    state: BackgroundState, h: cx.CArray, record=True
 ) -> tuple[cx.CArray, BackgroundState]:
     """Subtract the mean of buffered estimates; push the raw estimate.
 
     Matches the reference ordering: the *current* estimate is recorded after
-    removal uses only past frames.
+    removal uses only past frames. ``record`` mirrors the reference's
+    ``set_background_record`` runtime toggle
+    (grc/mimo_ofdm_jrc_mimo_ofdm_radar.block.yml, lib/mimo_ofdm_radar_impl.cc:276):
+    calibrate the clutter buffer while True, then freeze it so a moving
+    target is not subtracted against its own recent history. (The reference
+    keeps pushing the last *recorded* snapshot while the toggle is off —
+    after record_len frames that converges to exactly this frozen mean.)
     """
     record_len = state.buffer.shape[0]
     n_valid = jnp.minimum(state.count, record_len)
     mean = cx.sum(state.buffer, axis=0) / jnp.maximum(n_valid, 1).astype(jnp.float32)
     cleaned = cx.where(n_valid > 0, h - mean, h)
     slot = state.count % record_len
+    rec = jnp.asarray(record)
     new = BackgroundState(
-        buffer=state.buffer.at[slot].set(h), count=state.count + 1
+        buffer=cx.where(rec, state.buffer.at[slot].set(h), state.buffer),
+        count=jnp.where(rec, state.count + 1, state.count),
     )
     return cleaned, new
 

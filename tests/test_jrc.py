@@ -97,3 +97,40 @@ def test_steering_fallback_chain():
     got = q[:, 0] / q[0, 0]
     np.testing.assert_allclose(got, expect / expect[0], atol=1e-5)
     assert np.abs(q[:, 1:]).max() < 1e-6  # phased: only column 0 used
+
+
+def test_multi_dwell_moving_target_tracking_gain():
+    """The paper's headline claim (lib/mimo_precoder_impl.cc:903-983): over a
+    multi-dwell run with a target moving off-broadside, radar-aided steering
+    tracks the angle and sustains a comm-SNR gain over the Fourier fallback
+    of at least the phased-array expectation (~6 dB for 4 TX, minus
+    pointing loss)."""
+    st = jrc_trx.init_state(CFG)
+    angles = [24.0, 20.0, 16.0, 12.0, 8.0]
+    fresh = jrc_trx.init_state(CFG)  # never updated -> Fourier fallback
+    gains_db = []
+    for d, az in enumerate(angles):
+        tgt = channel.Targets(ranges=(12.0,), velocities=(8.0,),
+                              azimuths=(az,), rcs=(10.0,))
+        # background recording frozen: in the reference the clutter buffer is
+        # calibrated before operation (set_background_record toggle) — a
+        # moving target must not be subtracted against its own history
+        r = jrc_trx.jrc_step(CFG, st, DATA_SPEC, DATA_PAYLOAD, tgt,
+                             key=jax.random.key(10 + d), radar_aided=True,
+                             background_record=False, comm_noise_var=NV)
+        # radar must track the moving target
+        assert bool(r.radar_est.detected), (d, az)
+        assert abs(float(r.radar_est.angle_deg) - az) < 2.5, (d, az)
+        if d > 0:  # steering used the PREVIOUS dwell's angle estimate
+            rf = jrc_trx.jrc_step(CFG, fresh, DATA_SPEC, DATA_PAYLOAD, tgt,
+                                  key=jax.random.key(10 + d), radar_aided=True,
+                                  background_record=False, comm_noise_var=NV)
+            h_aided = float(abs(r.comm.eq.chan_mean[0]))
+            h_fourier = float(abs(rf.comm.eq.chan_mean[0]))
+            gains_db.append(20 * np.log10(h_aided / h_fourier))
+            assert bool(r.comm.decoded.crc_ok), (d, az)
+        st = r.state
+    # steering from the previous dwell's angle: mean gain near the 4-TX
+    # array-gain expectation despite the 4 deg/dwell pointing lag
+    assert np.mean(gains_db) >= 3.0, gains_db
+    assert min(gains_db) > 0.0, gains_db

@@ -118,3 +118,35 @@ def test_doppler_phase_progression():
     # interior samples only: the circular delay wraps the block edges
     inst = np.angle(y[1000:3000] * np.conj(y[999:2999])).mean() * CFG.sample_rate / (2 * np.pi)
     assert abs(inst - f_d) < 0.05 * f_d + 1.0
+
+
+def test_background_record_toggle_clutter_suppression():
+    """Reference set_background_record semantics: calibrate the clutter
+    buffer with the static scene, freeze it, then a target that appears is
+    detected while the static clutter stays suppressed."""
+    from jrc_tpu.models import jrc_trx
+    from jrc_tpu.ops.encoder import make_payload
+
+    SPEC_D = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
+    PAYLOAD_D = jnp.asarray(make_payload(SPEC_D, bytes([2]) + b"clutter test"))
+    clutter = channel.Targets(ranges=(25.0,), velocities=(0.0,),
+                              azimuths=(-20.0,), rcs=(40.0,))
+    both = channel.Targets(ranges=(25.0, 10.0), velocities=(0.0, 0.0),
+                           azimuths=(-20.0, 15.0), rcs=(40.0, 10.0))
+    st = jrc_trx.init_state(CFG, record_len=4)
+
+    # calibration: record the clutter-only scene
+    for d in range(4):
+        r = jrc_trx.jrc_step(CFG, st, SPEC_D, PAYLOAD_D, clutter,
+                             key=jax.random.key(50 + d), radar_aided=False,
+                             background_record=True, comm_noise_var=1e-4)
+        st = r.state
+    # operation: recording frozen, new target appears
+    r = jrc_trx.jrc_step(CFG, st, SPEC_D, PAYLOAD_D, both,
+                         key=jax.random.key(60), radar_aided=False,
+                         background_record=False, comm_noise_var=1e-4)
+    assert bool(r.radar_est.detected)
+    # the strong static clutter (40 m2 at 25 m / -20 deg) is suppressed; the
+    # weak new target (10 m2 at 10 m / +15 deg) wins the argmax
+    assert abs(float(r.radar_est.range_m) - 10.0) < 0.7, float(r.radar_est.range_m)
+    assert abs(float(r.radar_est.angle_deg) - 15.0) < 2.5, float(r.radar_est.angle_deg)
