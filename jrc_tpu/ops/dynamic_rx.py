@@ -15,8 +15,10 @@ static-shaped, so this module compiles one program that covers the whole MCS
   zero-information;
 * the CRC runs over a traced byte count.
 
-LS estimation only (the reference's default); decision-directed STA tracking
-needs the MCS inside the scan and stays on the static-spec path.
+``estimator="sta"`` adds decision-directed STA channel tracking inside the
+masked scan (reference lib/mimo_ofdm_equalizer_impl.cc:500-592): the
+per-symbol hard re-modulation runs under a ``lax.switch`` over the
+SIG-discovered MCS, α = 0.4 (DATA) / 0.5 (NDP) as in the reference.
 """
 from __future__ import annotations
 
@@ -122,6 +124,7 @@ def rx_frame_dynamic(
     coarse_cfo: jax.Array,
     *,
     max_payload: int = 256,
+    estimator: str = "ls",
 ) -> DynamicFrame:
     """Sync + equalize + decode one frame with SIG-discovered parameters."""
     max_n_sym = max_symbols(max_payload)
@@ -159,26 +162,49 @@ def rx_frame_dynamic(
     refs = sched[rows]
     is_data_frame = ptype == 1
 
+    sta = estimator == "sta"
+    # α = 0.4 for DATA, 0.5 for NDP (lib/mimo_ofdm_equalizer_impl.cc:510,560)
+    alpha = jnp.where(is_data_frame, 0.4, 0.5)
+
+    def _sta_remod(z):
+        """Hard re-modulation under the SIG-discovered MCS (CArray pytree
+        flows through lax.switch directly)."""
+        branches = [
+            (lambda zz, m=m: modulation.modulate(
+                modulation.hard_decision(zz, m), m))
+            for m in MCS
+        ]
+        return jax.lax.switch(jnp.clip(mcs_idx, 0, len(MCS) - 1), branches, z)
+
+    h0 = cx.where(is_data_frame, h_eff, h_legacy)
+
     def step(carry, xs):
-        sig_sum, noise_sum, count = carry
+        h, sig_sum, noise_sum, count = carry
         y, ref, k = xs
         active_sym = k < n_sym
-        chan = cx.where(is_data_frame, h_eff, h_legacy)
-        beta_k, est = equalizer.common_phase_error(cfg, y, chan, ref)
+        beta_k, est = equalizer.common_phase_error(cfg, y, h, ref)
         y = y * cx.expj(-beta_k)
         w = active_sym.astype(jnp.float32)
         sig_sum = sig_sum + w * jnp.sum(cx.abs2(est))
         noise_sum = noise_sum + w * jnp.sum(cx.abs2(est - y[pidx]))
         count = count + jnp.where(active_sym, cfg.n_pilot_carriers, 0)
-        csi = cx.abs2(chan[didx]) + noise_sum / jnp.maximum(count, 1)
-        z_mmse = cx.mul_conj(y[didx], chan[didx]) / csi
-        z_zf = y[didx] / chan[didx]
+        csi = cx.abs2(h[didx]) + noise_sum / jnp.maximum(count, 1)
+        z_mmse = cx.mul_conj(y[didx], h[didx]) / csi
+        z_zf = y[didx] / h[didx]
         z = cx.where(is_data_frame, z_mmse, z_zf)
-        return (sig_sum, noise_sum, count), cx.where(active_sym, z, cx.zeros(z.shape))
+        if sta:
+            x_hat = _sta_remod(z)
+            h_upd_data = y[didx] / x_hat
+            h_upd_pilot = y[pidx] / ref
+            h_new = h.at[didx].set(h[didx] * (1 - alpha) + h_upd_data * alpha)
+            h_new = h_new.at[pidx].set(h[pidx] * (1 - alpha) + h_upd_pilot * alpha)
+            h = cx.where(active_sym, h_new, h)
+        return (h, sig_sum, noise_sum, count), cx.where(
+            active_sym, z, cx.zeros(z.shape))
 
-    (_, _, _), z = jax.lax.scan(
+    (_, _, _, _), z = jax.lax.scan(
         step,
-        (jnp.float32(0), jnp.float32(0), jnp.int32(0)),
+        (h0, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
         (y_data, refs, jnp.arange(max_n_sym)),
     )
 
