@@ -126,8 +126,12 @@ def scan_rx(
 
     if batched:
         starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
-        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-        blocks = xp[idx]  # (n_blocks, window)
+        # static slices, not an index-array gather: XLA turns these into
+        # plain HBM copies (the (n_blocks, window) gather was ~20× slower
+        # on TPU and gets re-materialized into every consumer)
+        blocks = cx.stack(
+            [xp[..., b * block_len : b * block_len + window] for b in range(n_blocks)]
+        )
         res = jax.vmap(one_block)(blocks)
         results = res._replace(
             start=jnp.where(res.valid, res.start + starts[:, None], -1)
@@ -246,8 +250,10 @@ def scan_rx_dynamic(
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
     if batched:
-        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-        res = jax.vmap(one_block)(xp[idx])
+        blocks = cx.stack(
+            [xp[..., b * block_len : b * block_len + window] for b in range(n_blocks)]
+        )
+        res = jax.vmap(one_block)(blocks)
         results = res._replace(
             start=jnp.where(res.valid, res.start + starts[:, None], -1)
         )

@@ -33,16 +33,45 @@ from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import cplx as cx
 
 
+def _shift_right(x: jax.Array, k: int) -> jax.Array:
+    """x delayed by k samples along the last axis, zeros shifted in."""
+    if k == 0:
+        return x
+    if k >= x.shape[-1]:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros((*x.shape[:-1], k), x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
 def moving_sum(x, win: int):
     """Trailing-window sum: out[n] = Σ_{k=0}^{win-1} x[n-k] (zeros history).
 
-    Matches GNU Radio moving-average alignment (history-padded)."""
+    Matches GNU Radio moving-average alignment (history-padded).
+
+    Computed by binary shift-and-add doubling (log2(win) shifted adds) rather
+    than a cumsum difference: jnp.cumsum is one of the slowest ops on TPU
+    (measured ~40× off HBM speed-of-light at these shapes) and the cumsum
+    difference also loses precision to cancellation on long blocks; doubling
+    is pure elementwise+slice work that XLA fuses, and sums exactly the
+    window terms.
+    """
     if isinstance(x, cx.CArray):
         return cx.CArray(moving_sum(x.re, win), moving_sum(x.im, win))
-    c = jnp.cumsum(x, axis=-1)
-    pad = jnp.zeros((*x.shape[:-1], win), x.dtype)
-    c_shift = jnp.concatenate([pad, c[..., :-win]], axis=-1) if x.shape[-1] > win else pad[..., : x.shape[-1]]
-    return c - c_shift
+    # sums[w][n] = Σ_{k<w} x[n-k] for power-of-two w, built by doubling
+    acc = None
+    shift = 0
+    s = x
+    w = 1
+    while True:
+        if win & w:
+            part = _shift_right(s, shift)
+            acc = part if acc is None else acc + part
+            shift += w
+        w *= 2
+        if w > win:
+            break
+        s = s + _shift_right(s, w // 2)
+    return acc
 
 
 def autocorrelation(cfg: OFDMConfig, x: cx.CArray):
@@ -92,15 +121,17 @@ def _gap_tolerant_triggers(
     peak k−min_n_peaks lies < max_peak_distance behind. Peaks need NOT be
     consecutive; noise dips inside the plateau don't reset the count.
     """
-    n = mask.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    count = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # k at each peak
-    # pos_of_peak[j] = sample index of the j-th peak (1-based), n if absent
-    pos = jnp.full(n + 1, n, jnp.int32).at[jnp.where(mask, count, 0)].set(
-        jnp.where(mask, idx, n), mode="drop"
-    ).at[0].set(-(10**9))
-    anchor = pos[jnp.maximum(count - min_n_peaks, 0)]
-    return mask & (count > min_n_peaks) & (idx - anchor < max_peak_distance)
+    # "peak k−min_n_peaks lies < max_peak_distance behind the current peak"
+    # ⇔ the trailing window (i−D, i] contains ≥ min_n_peaks+1 peaks: the
+    # peaks in that window are exactly the last count[i]−count[i−D] ones, and
+    # the (count−min_n_peaks)-th peak sits inside it iff that count exceeds
+    # min_n_peaks. One moving sum — no position table, no data-dependent
+    # scatter/gather (the scatter formulation was the single hottest op of
+    # the detection chain on TPU, ~16 ms per 1.3 Msample batch).
+    peaks_in_window = moving_sum(
+        mask.astype(jnp.float32), max_peak_distance
+    )
+    return mask & (peaks_in_window > min_n_peaks)
 
 
 def detect_frames(
@@ -129,29 +160,39 @@ def detect_frames(
     a, cor = autocorrelation(cfg, x)
     mask = (cor > threshold) & (cor < 2.0)
     n = x.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    max_peak_distance = 2 * cfg.sym_len
     if strict_runs:
         runs = _run_lengths(mask)
         trigger = runs == min_n_peaks  # fires exactly once per plateau entry
     else:
-        max_peak_distance = 2 * cfg.sym_len
         trigger = _gap_tolerant_triggers(mask, min_n_peaks, max_peak_distance)
-        # sparsify to one candidate per trigger cluster (every further peak
-        # of a plateau also satisfies the window condition): keep only
-        # triggers with no other trigger in the preceding window
-        recent = moving_sum(trigger.astype(jnp.int32), max_peak_distance)
-        trigger = trigger & (recent - trigger.astype(jnp.int32) == 0)
+    # sparsify to one candidate per trigger cluster (every further peak of a
+    # plateau also satisfies the window condition; a strict-run re-entry
+    # after a noise dip re-fires inside the same STF): keep only triggers
+    # with no other trigger in the preceding window. ignore_gap (≥ the STF
+    # span) would suppress the merged triggers downstream anyway.
+    tf = trigger.astype(jnp.float32)
+    trigger = trigger & (moving_sum(tf, max_peak_distance) - tf == 0)
 
     # pull the K earliest candidate triggers (K small), then run the
     # near-trigger suppression scan over only those K — keeps the sequential
-    # part O(max_frames), not O(n_samples). Extraction is rank-scatter
-    # (cumsum + one scatter), NOT top_k: XLA's sort-based TopK over the whole
-    # block was the single hottest op of the RX chain on TPU.
+    # part O(max_frames), not O(n_samples). Extraction is one first-trigger
+    # reduce per 128-sample segment (exact: sparsified triggers are
+    # ≥ max_peak_distance > 128 apart, so a segment holds at most one) plus
+    # a small sort to compact — NOT top_k over the block and NOT a
+    # rank-scatter, both measured as the hottest ops of the RX chain on TPU
+    # (sort-based TopK ~10 ms, data-dependent scatter ~16 ms per batch).
+    seg = 128
+    assert max_peak_distance > seg
+    n_seg = -(-n // seg)
+    tpad = jnp.pad(trigger, [(0, 0)] * (trigger.ndim - 1) + [(0, n_seg * seg - n)])
+    tseg = tpad.reshape(*trigger.shape[:-1], n_seg, seg)
+    seg_has = jnp.any(tseg, axis=-1)
+    seg_first = jnp.argmax(tseg, axis=-1).astype(jnp.int32)
+    seg_base = jnp.arange(n_seg, dtype=jnp.int32) * seg
+    cand_all = jnp.where(seg_has, seg_base + seg_first, n)
     k_cand = max_frames * 4
-    rank = jnp.cumsum(trigger.astype(jnp.int32), axis=-1) - 1  # 0-based
-    cand = jnp.full(k_cand, n, jnp.int32).at[
-        jnp.where(trigger, rank, k_cand)
-    ].set(jnp.where(trigger, idx, n), mode="drop")  # ascending by construction
+    cand = jnp.sort(cand_all, axis=-1)[..., :k_cand]  # ascending positions
 
     def keep_scan(last_kept, i):
         keep = (i < n) & (i >= last_kept + ignore_gap)
@@ -261,20 +302,33 @@ def extract_frame(
     if sync_length is None:
         sync_length = cfg.n_sync_words * cfg.sym_len
     x = cx.from_complex(x)
-    need = sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
-    n = jnp.arange(need, dtype=jnp.float32)
-    window = cx.dynamic_slice_in_dim(x, trigger, need, axis=-1)
-    window = window * cx.expj(-coarse_cfo * n)
 
-    corr = ltf_correlate(cfg, window[: sync_length + cfg.fft_len - 1])
-    corr = corr[:sync_length]
-    sr = search_frame_start(cfg, corr)
+    # correlate only over the prefix the peak search reads — derotating the
+    # whole frame window here and again after fine CFO was 2× the work
+    need_corr = sync_length + cfg.fft_len - 1
+    w_corr = cx.dynamic_slice_in_dim(x, trigger, need_corr, axis=-1)
+    w_corr = w_corr * cx.expj(
+        -coarse_cfo * jnp.arange(need_corr, dtype=jnp.float32)
+    )
+    sr = search_frame_start(cfg, ltf_correlate(cfg, w_corr)[..., :sync_length])
 
-    # fine derotation with the reference's sign: out = in·exp(j·n·freq_offset)
-    window = window * cx.expj(sr.fine_cfo * n)
-
-    offs = jnp.asarray(symbol_sample_offsets(cfg, n_sym))
-    idx = sr.frame_start + offs
-    symbols = window[idx]
-    total_cfo = coarse_cfo - sr.fine_cfo  # tag value (lib/frame_sync_impl.cc:182-186)
+    # symbol region: one dynamic slice from the LTF start, then the CP strip
+    # is a reshape+slice (symbols are sym_len-periodic after the two raw LTF
+    # copies) — the (n_sym, fft_len) data-dependent gather this replaces was
+    # the hottest op of the frame path on TPU (~9 ms per 384-frame batch).
+    # Combined derotation phase (fine − coarse)·n with n counted from the
+    # trigger as the reference does (lib/frame_sync_impl.cc:175-197);
+    # total_cfo tag per lib/frame_sync_impl.cc:182-186.
+    assert cfg.sym_len == cfg.fft_len + cfg.cp_len
+    need_sym = 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len
+    w_sym = cx.dynamic_slice_in_dim(x, trigger + sr.frame_start, need_sym, axis=-1)
+    phase = (sr.fine_cfo - coarse_cfo) * (
+        sr.frame_start.astype(jnp.float32)
+        + jnp.arange(need_sym, dtype=jnp.float32)
+    )
+    w_sym = w_sym * cx.expj(phase)
+    ltf = w_sym[..., : 2 * cfg.fft_len].reshape(2, cfg.fft_len)
+    rest = w_sym[..., 2 * cfg.fft_len :].reshape(n_sym - 2, cfg.sym_len)
+    symbols = cx.concatenate([ltf, rest[..., cfg.cp_len :]], axis=0)
+    total_cfo = coarse_cfo - sr.fine_cfo
     return symbols, total_cfo, sr.found

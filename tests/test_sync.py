@@ -142,3 +142,19 @@ def test_detection_probability_low_snr(rng):
             hits_strict += 1
     assert hits_gap >= hits_strict, (hits_gap, hits_strict)
     assert hits_gap >= 0.6 * n_trials, (hits_gap, n_trials)
+
+
+def test_gap_tolerant_matches_anchor_rule(rng):
+    """The moving-sum formulation must reproduce the reference SEARCH-counter
+    anchor rule (lib/frame_detector_impl.cc:89-134) exactly: trigger at a
+    peak when the (count-min_n_peaks)-th peak lies < max_peak_distance
+    behind it."""
+    for trial in range(20):
+        m = rng.random(600) < rng.choice([0.05, 0.3, 0.8])
+        got = np.asarray(sync._gap_tolerant_triggers(jnp.asarray(m), 10, 160))
+        pos = np.flatnonzero(m)
+        want = np.zeros_like(m)
+        for k, i in enumerate(pos):  # k is 0-based peak number
+            if k >= 10 and i - pos[k - 10] < 160:
+                want[i] = True
+        np.testing.assert_array_equal(got, want)
