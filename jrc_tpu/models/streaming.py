@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
-from jrc_tpu.ops import cplx as cx, decoder, dynamic_rx, equalizer, ofdm, sync
+from jrc_tpu.ops import cplx as cx, decoder, dynamic_rx, equalizer, ofdm, sync, viterbi
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -46,6 +46,87 @@ def left_history_samples(cfg: OFDMConfig) -> int:
     return 2 * cfg.sym_len + 2 * cfg.fft_len
 
 
+class _PreDecoded(NamedTuple):
+    """Everything up to (but not including) the Viterbi pass for one block:
+    lets the capture-level executor run ONE flat Viterbi over all blocks'
+    frames (the Pallas TPU kernel cannot sit under the per-frame vmap)."""
+
+    values: jax.Array  # (max_frames, 2·n_data_bits) depunctured values
+    found: jax.Array  # (max_frames,) LTF peak pair existed
+    sig_ok: jax.Array  # (max_frames,)
+    snr_db: jax.Array  # (max_frames,)
+    start: jax.Array  # (max_frames,) trigger relative to own_lo (-1 invalid)
+    owned: jax.Array  # (max_frames,)
+
+
+def _rx_block_prelude(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    x: cx.CArray,
+    block_len: int,
+    *,
+    own_lo: int,
+    max_frames: int,
+    threshold: float,
+    min_n_peaks: int,
+    estimator: str,
+    soft: bool,
+) -> _PreDecoded:
+    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+    det = sync.detect_frames(
+        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+    )
+    owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
+    starts = jnp.where(owned, det.start, 0)
+
+    def one_frame(trigger, cfo):
+        syms_t, total_cfo, found = sync.extract_frame(cfg, x, trigger, cfo, n_sym)
+        grid = ofdm.fft_symbols(cfg, syms_t)
+        eq = equalizer.equalize_frame(cfg, spec, grid, total_cfo, estimator=estimator)
+        values = decoder.frame_values(spec, eq.z, soft=soft)
+        return values, found, eq.sig_ok, eq.snr_legacy
+
+    values, found, sig_ok, snr = jax.vmap(one_frame)(starts, det.coarse_cfo)
+    return _PreDecoded(
+        values=values,
+        found=found,
+        sig_ok=sig_ok,
+        snr_db=snr,
+        start=jnp.where(owned, det.start - own_lo, -1),
+        owned=owned,
+    )
+
+
+def _viterbi_backend(name: str):
+    """Resolve a Viterbi backend name → decode function.
+
+    'scan' is safe everywhere (incl. under vmap/shard_map and on CPU);
+    'pallas' is the single-kernel TPU fast path and must be called on a flat
+    batch at the top level; 'auto' picks pallas iff the default backend is a
+    TPU (axon)."""
+    if name == "auto":
+        name = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    if name == "pallas":
+        from jrc_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+
+        return viterbi_decode_pallas
+    return viterbi.viterbi_decode
+
+
+def _finish_block(
+    spec: FrameSpec, pre: _PreDecoded, bits: jax.Array
+) -> BlockRxResult:
+    dec = decoder.frame_from_bits(spec, bits)
+    return BlockRxResult(
+        payload=dec.payload,
+        crc_ok=dec.crc_ok & pre.found & pre.owned,
+        sig_ok=pre.sig_ok & pre.owned,
+        snr_db=pre.snr_db,
+        start=pre.start,
+        valid=pre.owned,
+    )
+
+
 def rx_block(
     cfg: OFDMConfig,
     spec: FrameSpec,
@@ -62,29 +143,15 @@ def rx_block(
     """Detect and decode every frame whose trigger lies in the ownership
     window; ``start`` is reported relative to ``own_lo``."""
     x = cx.from_complex(x)
-    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
-    det = sync.detect_frames(
-        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+    pre = _rx_block_prelude(
+        cfg, spec, x, block_len, own_lo=own_lo, max_frames=max_frames,
+        threshold=threshold, min_n_peaks=min_n_peaks, estimator=estimator,
+        soft=soft,
     )
-    owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
-    starts = jnp.where(owned, det.start, 0)
-
-    def one_frame(trigger, cfo):
-        syms_t, total_cfo, found = sync.extract_frame(cfg, x, trigger, cfo, n_sym)
-        grid = ofdm.fft_symbols(cfg, syms_t)
-        eq = equalizer.equalize_frame(cfg, spec, grid, total_cfo, estimator=estimator)
-        dec = decoder.decode_frame(spec, eq.z, soft=soft)
-        return dec.payload, dec.crc_ok & found, eq.sig_ok, eq.snr_legacy
-
-    payload, crc_ok, sig_ok, snr = jax.vmap(one_frame)(starts, det.coarse_cfo)
-    return BlockRxResult(
-        payload=payload,
-        crc_ok=crc_ok & owned,
-        sig_ok=sig_ok & owned,
-        snr_db=snr,
-        start=jnp.where(owned, det.start - own_lo, -1),
-        valid=owned,
+    bits = viterbi.viterbi_decode(
+        pre.values, n_out=spec.packet_params.n_data_bits
     )
+    return _finish_block(spec, pre, bits)
 
 
 def scan_rx(
@@ -98,17 +165,20 @@ def scan_rx(
     threshold: float = 0.6,
     min_n_peaks: int = 10,
     batched: bool = True,
+    viterbi_backend: str = "auto",
 ) -> BlockRxResult:
     """Stream ``n_blocks`` fixed-size blocks through the rx_block body.
 
     Blocks are independent given the ``[left-history | block | halo]`` window
     (same ownership rule the sharded executor uses over the mesh), so the
     default formulation is **batched**: all block windows are gathered into a
-    (n_blocks, window) tensor and `vmap(rx_block)` processes them at once —
-    every sequential trellis/scan step then carries an (n_blocks·max_frames)
-    batch instead of being replayed per block. ``batched=False`` falls back
-    to a sequential ``lax.scan`` (small program, O(1) memory in n_blocks) for
-    very long captures.
+    (n_blocks, window) tensor and the per-block prelude (detect → sync → FFT
+    → equalize → demap) runs as one vmap; the Viterbi pass then runs ONCE
+    over the flat (n_blocks·max_frames) batch — on TPU via the single-kernel
+    Pallas register-exchange decoder (``viterbi_backend='auto'|'pallas'``),
+    elsewhere via the lax.scan formulation. ``batched=False`` falls back to
+    a sequential ``lax.scan`` over blocks (small program, O(1) memory in
+    n_blocks) for very long captures.
     """
     halo = frame_window_samples(cfg, spec) + cfg.fft_len
     left_hist = left_history_samples(cfg)
@@ -132,7 +202,18 @@ def scan_rx(
         blocks = cx.stack(
             [xp[..., b * block_len : b * block_len + window] for b in range(n_blocks)]
         )
-        res = jax.vmap(one_block)(blocks)
+        pre = jax.vmap(
+            lambda blk: _rx_block_prelude(
+                cfg, spec, blk, block_len, own_lo=left_hist,
+                max_frames=max_frames_per_block, threshold=threshold,
+                min_n_peaks=min_n_peaks, estimator="ls", soft=False,
+            )
+        )(blocks)
+        n_data_bits = spec.packet_params.n_data_bits
+        flat_values = pre.values.reshape(-1, pre.values.shape[-1])
+        bits = _viterbi_backend(viterbi_backend)(flat_values, n_out=n_data_bits)
+        bits = bits.reshape(n_blocks, max_frames_per_block, n_data_bits)
+        res = _finish_block(spec, pre, bits)
         results = res._replace(
             start=jnp.where(res.valid, res.start + starts[:, None], -1)
         )

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import coding, modulation
 from jrc_tpu.ops.encoder import FrameSpec
-from jrc_tpu.ops.viterbi import decode_bits, viterbi_decode
+from jrc_tpu.ops.viterbi import hard_to_values, viterbi_decode
 from jrc_tpu.ops.coding import depuncture
 
 
@@ -25,21 +25,32 @@ class DecodedFrame(NamedTuple):
     scrambler_seed: jax.Array  # (...,) int32 recovered initial LFSR state
 
 
-def decode_frame(spec: FrameSpec, z: jax.Array, soft: bool = False, noise_var=1.0) -> DecodedFrame:
-    """(..., n_data_sym, 48) equalized symbols → payload + CRC verdict."""
+def frame_values(
+    spec: FrameSpec, z: jax.Array, soft: bool = False, noise_var=1.0
+) -> jax.Array:
+    """(..., n_data_sym, 48) equalized symbols → (..., 2·n_data_bits)
+    depunctured channel values, ready for any Viterbi backend.
+
+    Split out of :func:`decode_frame` so a caller batching many frames can
+    run ONE flat Viterbi call over all of them (the Pallas TPU kernel cannot
+    sit under the per-frame vmap; see ops/viterbi_pallas.py)."""
     pp = spec.packet_params
     mp = spec.mcs_params
     zs = z.reshape(*z.shape[:-2], -1)  # (..., n_sym·48)
-
     if soft:
         llrs = modulation.soft_llr(zs, spec.mcs, noise_var)
-        values = depuncture(llrs, spec.mcs, 2 * pp.n_data_bits, erasure=0.0)
-        decoded = viterbi_decode(values, n_out=pp.n_data_bits)
-    else:
-        vals = modulation.hard_decision(zs, spec.mcs)
-        rx_bits = coding.merge_symbols(vals, mp.n_bpsc)
-        decoded = decode_bits(rx_bits, spec.mcs, pp.n_data_bits)
+        return depuncture(llrs, spec.mcs, 2 * pp.n_data_bits, erasure=0.0)
+    vals = modulation.hard_decision(zs, spec.mcs)
+    rx_bits = coding.merge_symbols(vals, mp.n_bpsc)
+    return depuncture(
+        hard_to_values(rx_bits), spec.mcs, 2 * pp.n_data_bits, erasure=0.0
+    )
 
+
+def frame_from_bits(spec: FrameSpec, decoded: jax.Array) -> DecodedFrame:
+    """(..., n_data_bits) Viterbi output bits → payload + CRC verdict
+    (descramble → CRC-32 residue; second half of :func:`decode_frame`)."""
+    pp = spec.packet_params
     descrambled = coding.descramble(decoded)
     weights = (1 << jnp.arange(6, -1, -1, dtype=jnp.int32))
     seed = jnp.sum(decoded[..., :7].astype(jnp.int32) * weights, axis=-1)
@@ -49,6 +60,15 @@ def decode_frame(spec: FrameSpec, z: jax.Array, soft: bool = False, noise_var=1.
     pdu = coding.bits_to_bytes(data_bits)
     crc_ok = coding.crc32_check_residue(pdu)
     return DecodedFrame(payload=pdu[..., :-4], crc_ok=crc_ok, scrambler_seed=seed)
+
+
+def decode_frame(
+    spec: FrameSpec, z: jax.Array, soft: bool = False, noise_var=1.0
+) -> DecodedFrame:
+    """(..., n_data_sym, 48) equalized symbols → payload + CRC verdict."""
+    values = frame_values(spec, z, soft=soft, noise_var=noise_var)
+    decoded = viterbi_decode(values, n_out=spec.packet_params.n_data_bits)
+    return frame_from_bits(spec, decoded)
 
 
 class LinkStats(NamedTuple):

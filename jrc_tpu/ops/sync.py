@@ -220,14 +220,26 @@ class SyncResult(NamedTuple):
 def ltf_correlate(cfg: OFDMConfig, x: cx.CArray) -> cx.CArray:
     """Matched-filter correlation: corr[n] = Σ_k conj(ltf_t[k])·x[n+k].
 
-    Expressed as sliding windows × a (fft_len, 2) constant — one small real
-    matmul per block, MXU-shaped."""
+    Computed as fft_len static shifted slices × scalar taps, accumulated —
+    pure slice+FMA work that XLA fuses into one pass. (The previous sliding-
+    window (n, fft_len) index gather re-materialized the windows tensor and
+    was a dominant cost of frame extraction on TPU.)"""
     x = cx.from_complex(x)
-    taps = cx.from_complex(np.conj(np.asarray(cfg.lltf_time)))  # (fft_len,)
+    taps = np.conj(np.asarray(cfg.lltf_time))  # (fft_len,) numpy constants
     n = x.shape[-1] - cfg.fft_len + 1
-    win_idx = jnp.arange(n)[:, None] + jnp.arange(cfg.fft_len)[None, :]
-    windows = x[..., win_idx]
-    return cx.einsum("...nk,k->...n", windows, taps)
+    acc_re = jnp.zeros((*x.shape[:-1], n), x.re.dtype)
+    acc_im = jnp.zeros_like(acc_re)
+    for k in range(cfg.fft_len):
+        xr = x.re[..., k : k + n]
+        xi = x.im[..., k : k + n]
+        tr, ti = float(taps[k].real), float(taps[k].imag)
+        if tr != 0.0:
+            acc_re = acc_re + tr * xr
+            acc_im = acc_im + tr * xi
+        if ti != 0.0:
+            acc_re = acc_re - ti * xi
+            acc_im = acc_im + ti * xr
+    return cx.CArray(acc_re, acc_im)
 
 
 def search_frame_start(cfg: OFDMConfig, corr: cx.CArray) -> SyncResult:
