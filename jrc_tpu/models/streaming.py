@@ -42,8 +42,11 @@ def frame_window_samples(cfg: OFDMConfig, spec: FrameSpec) -> int:
 def left_history_samples(cfg: OFDMConfig) -> int:
     """Samples of left-neighbor history needed so a plateau that begins in the
     previous block is seen with its true run length (no re-trigger): the STF
-    region plus the autocorrelation/power windows."""
-    return 2 * cfg.sym_len + 2 * cfg.fft_len
+    region plus the autocorrelation/power windows, rounded up to the
+    detector's candidate-segment size (sync.SEG) so the flat-stream batched
+    detector can align block ownership to segment boundaries."""
+    need = 2 * cfg.sym_len + 2 * cfg.fft_len
+    return -(-need // sync.SEG) * sync.SEG
 
 
 class _PreDecoded(NamedTuple):
@@ -194,6 +197,43 @@ def scan_rx(
             min_n_peaks=min_n_peaks,
         )
 
+    if batched and block_len % sync.SEG == 0:
+        # one flat pass: detection (autocorr/trigger/candidates) runs once
+        # over the unduplicated stream, then every frame is extracted
+        # straight from it with a single flat vmap — no per-block window
+        # copies, no recomputed overlaps
+        mf = max_frames_per_block
+        det = sync.detect_frames_stream(
+            cfg, xp, block_len, n_blocks, left_hist,
+            threshold=threshold, min_n_peaks=min_n_peaks, max_frames=mf,
+        )
+        owned = det.valid
+        trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
+        cfo_flat = det.coarse_cfo.reshape(-1)
+        n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+
+        def one_frame(trigger, cfo):
+            syms_t, total_cfo, found = sync.extract_frame(
+                cfg, xp, trigger, cfo, n_sym
+            )
+            grid = ofdm.fft_symbols(cfg, syms_t)
+            eq = equalizer.equalize_frame(cfg, spec, grid, total_cfo)
+            values = decoder.frame_values(spec, eq.z)
+            return values, found, eq.sig_ok, eq.snr_legacy
+
+        values, found, sig_ok, snr = jax.vmap(one_frame)(trig_flat, cfo_flat)
+        n_data_bits = spec.packet_params.n_data_bits
+        bits = _viterbi_backend(viterbi_backend)(values, n_out=n_data_bits)
+        dec = decoder.frame_from_bits(spec, bits)
+        owned_flat = owned.reshape(-1)
+        return BlockRxResult(
+            payload=dec.payload,
+            crc_ok=dec.crc_ok & found & owned_flat,
+            sig_ok=sig_ok & owned_flat,
+            snr_db=snr,
+            start=jnp.where(owned, det.start - left_hist, -1).reshape(-1),
+            valid=owned_flat,
+        )
     if batched:
         starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
         # static slices, not an index-array gather: XLA turns these into

@@ -211,6 +211,105 @@ def detect_frames(
     )
 
 
+SEG = 128  # candidate-extraction segment (must stay < max_peak_distance)
+
+
+def detect_frames_stream(
+    cfg: OFDMConfig,
+    x: cx.CArray,  # flat [left-pad | n_blocks·block_len | halo] stream
+    block_len: int,
+    n_blocks: int,
+    own_lo: int,  # ownership of block b = [own_lo + b·block_len, +block_len)
+    *,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    max_frames: int = 8,
+    ignore_gap: int | None = None,
+) -> Detections:
+    """Block-batched detection over ONE flat pass of the stream.
+
+    Equivalent to running :func:`detect_frames` per ``[history | block |
+    halo]`` window (the scan_rx/sharded ownership rule) but with the
+    autocorrelation, trigger logic, and segment candidates computed once over
+    the unduplicated stream — the windowed form recomputes every overlap
+    region and pays a large stacked copy. History is implicit: the global
+    moving sums see the true left context of every block. Candidates from
+    the ``ignore_gap`` span left of each block are fed to the suppression
+    scan (exactly the cross-boundary re-trigger behavior of the windowed
+    form); halo-region candidates beyond the ownership end are not — they
+    can never suppress an earlier-owned trigger.
+
+    Returns Detections with leading (n_blocks,) axis; ``start`` is global
+    (flat-stream coordinates), −1 when invalid. ``own_lo`` and ``block_len``
+    must be multiples of SEG.
+    """
+    if ignore_gap is None:
+        ignore_gap = (cfg.n_sync_words + cfg.n_tx) * cfg.sym_len
+    assert own_lo % SEG == 0 and block_len % SEG == 0, (own_lo, block_len)
+    x = cx.from_complex(x)
+    n = x.shape[-1]
+    max_peak_distance = 2 * cfg.sym_len
+    assert max_peak_distance > SEG
+
+    a, cor = autocorrelation(cfg, x)
+    mask = (cor > threshold) & (cor < 2.0)
+    trigger = _gap_tolerant_triggers(mask, min_n_peaks, max_peak_distance)
+    tf = trigger.astype(jnp.float32)
+    trigger = trigger & (moving_sum(tf, max_peak_distance) - tf == 0)
+
+    # one first-trigger candidate per segment (exact: sparsified triggers
+    # are ≥ max_peak_distance > SEG apart)
+    n_seg = -(-n // SEG)
+    tpad = jnp.pad(trigger, (0, n_seg * SEG - n))
+    tseg = tpad.reshape(n_seg, SEG)
+    seg_has = jnp.any(tseg, axis=-1)
+    seg_first = jnp.argmax(tseg, axis=-1).astype(jnp.int32)
+    cand_all = jnp.where(
+        seg_has, jnp.arange(n_seg, dtype=jnp.int32) * SEG + seg_first, n
+    )
+
+    # per block: the block's own segments plus the ignore_gap span before it
+    s_blk = block_len // SEG
+    s_ext = -(-ignore_gap // SEG)
+    base0 = own_lo // SEG - s_ext
+    cand_pad = jnp.concatenate(
+        [jnp.full(max(0, -base0), n, jnp.int32), cand_all]
+    )
+    cand_b = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(
+            cand_pad, max(0, -base0) + base0 + b * s_blk, s_blk + s_ext
+        )
+        for b in range(n_blocks)
+    ])  # (n_blocks, s_blk + s_ext), ascending per block
+
+    k_cand = max_frames * 4
+    cand = jnp.sort(cand_b, axis=-1)[:, :k_cand]
+
+    def keep_scan(last_kept, i):
+        keep = (i < n) & (i >= last_kept + ignore_gap)
+        return jnp.where(keep, i, last_kept), keep
+
+    def per_block(c):
+        _, keep = jax.lax.scan(keep_scan, jnp.int32(-(10**9)), c)
+        return keep
+
+    keep = jax.vmap(per_block)(cand)
+    kept_idx = jnp.where(keep, cand, n)
+    starts = jnp.sort(kept_idx, axis=-1)[:, :max_frames]  # (n_blocks, mf)
+    lo = own_lo + jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * block_len
+    valid = (starts < n) & (starts >= lo) & (starts < lo + block_len)
+    starts = jnp.where(valid, starts, -1)
+    cfo = cx.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
+    cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)
+    own_span = trigger[own_lo : own_lo + n_blocks * block_len]
+    n_candidates = jnp.sum(
+        own_span.reshape(n_blocks, block_len).astype(jnp.int32), axis=-1
+    )
+    return Detections(
+        start=starts, coarse_cfo=cfo, valid=valid, n_candidates=n_candidates
+    )
+
+
 class SyncResult(NamedTuple):
     frame_start: jax.Array  # int32, offset into the derotated window
     fine_cfo: jax.Array  # float32 rad/sample (derotation already per reference sign)
