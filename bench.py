@@ -252,6 +252,13 @@ def main() -> int:
     t_start = time.monotonic()
     accel_proc, cpu_proc = _spawn("accel"), _spawn("cpu")
     accel = _collect(accel_proc, "accel", ACCEL_DEADLINE_S)
+    if accel and "error" in accel:
+        # the axon relay wedges transiently after a prior process exits and
+        # can eat the whole first attempt in d2h warm-up; one retry after a
+        # short cool-down recovers it (observed repeatedly on this tunnel)
+        _log(f"accel attempt 1 failed ({accel['error']}); retrying once")
+        time.sleep(30)
+        accel = _collect(_spawn("accel"), "accel", ACCEL_DEADLINE_S)
     if accel and accel.get("verified"):
         cpu = None  # accel verified itself — the cpu check is redundant
         cpu_proc.kill()

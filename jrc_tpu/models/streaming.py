@@ -352,9 +352,13 @@ def scan_rx_dynamic(
     threshold: float = 0.6,
     min_n_peaks: int = 10,
     batched: bool = True,
+    viterbi_backend: str = "auto",
 ) -> DynBlockRxResult:
     """Dynamic-RX analog of :func:`scan_rx`: all blocks processed as one
-    vmapped batch (or a sequential scan with ``batched=False``)."""
+    vmapped batch (or a sequential scan with ``batched=False``). When
+    ``block_len`` is SEG-aligned the batched path runs the flat-stream
+    detector and ONE Viterbi over every frame's SIG-discovered envelope
+    (pallas on TPU via ``viterbi_backend='auto'``)."""
     halo = frame_window_samples_dynamic(cfg, max_payload) + cfg.fft_len
     left_hist = left_history_samples(cfg)
     x = cx.from_complex(x)
@@ -370,6 +374,38 @@ def scan_rx_dynamic(
         )
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
+    if batched and block_len % sync.SEG == 0:
+        mf = max_frames_per_block
+        det = sync.detect_frames_stream(
+            cfg, xp, block_len, n_blocks, left_hist,
+            threshold=threshold, min_n_peaks=min_n_peaks, max_frames=mf,
+        )
+        owned = det.valid
+        trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
+        cfo_flat = det.coarse_cfo.reshape(-1)
+        pre = jax.vmap(
+            lambda t, c: dynamic_rx.rx_frame_dynamic_values(
+                cfg, xp, t, c, max_payload=max_payload
+            )
+        )(trig_flat, cfo_flat)
+        bits = _viterbi_backend(viterbi_backend)(
+            pre.values, n_out=16 + 8 * (max_payload + 4)
+        )
+        frames = jax.vmap(
+            lambda p, b: dynamic_rx.rx_frame_dynamic_finish(p, b, max_payload)
+        )(pre, bits)
+        owned_flat = owned.reshape(-1)
+        return DynBlockRxResult(
+            payload=frames.payload,
+            payload_len=jnp.where(owned_flat, frames.payload_len, 0),
+            crc_ok=frames.crc_ok & owned_flat,
+            sig_ok=frames.sig_ok & owned_flat,
+            mcs=frames.mcs,
+            packet_type_bit=frames.packet_type_bit,
+            snr_db=frames.snr_db,
+            start=jnp.where(owned, det.start - left_hist, -1).reshape(-1),
+            valid=owned_flat,
+        )
     if batched:
         blocks = cx.stack(
             [xp[..., b * block_len : b * block_len + window] for b in range(n_blocks)]

@@ -71,18 +71,33 @@ def frame_geometry(mcs_idx, data_size_byte, n_data_carriers: int = 48):
     return n_sym, n_sym * dbps
 
 
-def decode_payload_dynamic(
-    cfg: OFDMConfig,
+def max_trellis_bits(max_payload: int) -> int:
+    """Static trellis length covering every MCS branch's envelope (the
+    per-branch symbol capacity rounds up differently per n_dbps)."""
+    from jrc_tpu.config import MCSParams
+
+    max_bytes = max_payload + 4
+    return max(
+        math.ceil((16 + 8 * max_bytes + 6) / MCSParams(m).n_dbps)
+        * MCSParams(m).n_dbps
+        for m in MCS
+    )
+
+
+def payload_values_dynamic(
     z: jax.Array,  # (max_n_sym, 48) equalized symbols (masked beyond frame)
     mcs_idx: jax.Array,
     data_size_byte: jax.Array,
     max_payload: int,
-):
-    """lax.switch over the 6 MCS: demod → depuncture → Viterbi → descramble.
-
-    Returns (payload bytes (max_payload+4,), crc_ok).
-    """
+) -> jax.Array:
+    """lax.switch over the 6 MCS: demod → depuncture, each branch padding
+    its depunctured values with erasures to the shared
+    2·``max_trellis_bits`` envelope. One Viterbi call then serves every
+    MCS/length — positions beyond a frame's true coded extent are erased, so
+    the survivor path through the real steps is the same MLE path the
+    per-branch decode would find (zero-cost steps never change it)."""
     max_bytes = max_payload + 4
+    t_max = max_trellis_bits(max_payload)
 
     def branch(mcs: MCS):
         from jrc_tpu.config import MCSParams
@@ -92,7 +107,7 @@ def decode_payload_dynamic(
         branch_max_bits = branch_max_sym * mp.n_dbps
 
         def run(z_in, n_bytes):
-            n_sym, n_data_bits = frame_geometry(jnp.int32(int(mcs)), n_bytes)
+            _n_sym, n_data_bits = frame_geometry(jnp.int32(int(mcs)), n_bytes)
             zz = z_in[:branch_max_sym].reshape(-1)
             vals = modulation.hard_decision(zz, mcs)
             rx_bits = coding.merge_symbols(vals, mp.n_bpsc)
@@ -102,22 +117,60 @@ def decode_payload_dynamic(
             # erase positions beyond this frame's true coded extent
             pos = jnp.arange(2 * branch_max_bits)
             values = jnp.where(pos < 2 * n_data_bits, values, 0.0)
-            decoded = viterbi_decode(values, n_out=branch_max_bits)
-            descrambled = coding.descramble(decoded)
-            data_bits = descrambled[16 : 16 + 8 * max_bytes]
-            return coding.bits_to_bytes(data_bits)
+            return jnp.pad(values, (0, 2 * t_max - 2 * branch_max_bits))
 
         return run
 
     branches = [branch(m) for m in MCS]
-    pdu = jax.lax.switch(
+    return jax.lax.switch(
         jnp.clip(mcs_idx, 0, len(MCS) - 1), branches, z, data_size_byte
     )
+
+
+def payload_from_bits_dynamic(
+    decoded: jax.Array,  # (..., ≥ 16 + 8·(max_payload+4)) Viterbi output
+    data_size_byte: jax.Array,
+    max_payload: int,
+):
+    """descramble → bytes → length-masked CRC (MCS-independent)."""
+    max_bytes = max_payload + 4
+    descrambled = coding.descramble(decoded)
+    data_bits = descrambled[..., 16 : 16 + 8 * max_bytes]
+    pdu = coding.bits_to_bytes(data_bits)
     crc_ok = coding.crc32_check_residue(pdu, n_valid=data_size_byte)
     return pdu, crc_ok
 
 
-def rx_frame_dynamic(
+def decode_payload_dynamic(
+    cfg: OFDMConfig,
+    z: jax.Array,  # (max_n_sym, 48) equalized symbols (masked beyond frame)
+    mcs_idx: jax.Array,
+    data_size_byte: jax.Array,
+    max_payload: int,
+):
+    """demod (per-MCS switch) → one shared Viterbi → descramble → CRC.
+
+    Returns (payload bytes (max_payload+4,), crc_ok).
+    """
+    values = payload_values_dynamic(z, mcs_idx, data_size_byte, max_payload)
+    decoded = viterbi_decode(values, n_out=16 + 8 * (max_payload + 4))
+    return payload_from_bits_dynamic(decoded, data_size_byte, max_payload)
+
+
+class DynamicPre(NamedTuple):
+    """Pre-Viterbi state of one dynamic frame (lets a batching caller run
+    ONE flat Viterbi over all frames; see models/streaming.scan_rx)."""
+
+    values: jax.Array  # (2·max_trellis_bits,) depunctured channel values
+    mcs: jax.Array
+    length: jax.Array  # data_size_byte from SIG (payload + 4 CRC)
+    packet_type_bit: jax.Array
+    n_ofdm_sym: jax.Array
+    sig_ok: jax.Array
+    snr_db: jax.Array
+
+
+def rx_frame_dynamic_values(
     cfg: OFDMConfig,
     x: jax.Array,  # sample stream (padded: trigger + max window must fit)
     trigger: jax.Array,
@@ -125,8 +178,9 @@ def rx_frame_dynamic(
     *,
     max_payload: int = 256,
     estimator: str = "ls",
-) -> DynamicFrame:
-    """Sync + equalize + decode one frame with SIG-discovered parameters."""
+) -> DynamicPre:
+    """Sync + equalize + demod one frame with SIG-discovered parameters,
+    stopping before the Viterbi pass."""
     max_n_sym = max_symbols(max_payload)
     n_sym_total = 2 + 1 + cfg.n_ltf + max_n_sym
 
@@ -208,14 +262,48 @@ def rx_frame_dynamic(
         (y_data, refs, jnp.arange(max_n_sym)),
     )
 
-    pdu, crc_ok = decode_payload_dynamic(cfg, z, mcs_idx, length, max_payload)
-    return DynamicFrame(
-        payload=pdu[: max_payload],
-        payload_len=length - 4,
-        crc_ok=crc_ok & sig_ok,
+    values = payload_values_dynamic(z, mcs_idx, length, max_payload)
+    return DynamicPre(
+        values=values,
         mcs=mcs_idx,
+        length=length,
         packet_type_bit=ptype,
         n_ofdm_sym=n_sym,
         sig_ok=sig_ok,
         snr_db=snr_db,
     )
+
+
+def rx_frame_dynamic_finish(
+    pre: DynamicPre, decoded: jax.Array, max_payload: int
+) -> DynamicFrame:
+    """Viterbi output bits → DynamicFrame (descramble / bytes / CRC)."""
+    pdu, crc_ok = payload_from_bits_dynamic(decoded, pre.length, max_payload)
+    return DynamicFrame(
+        payload=pdu[..., :max_payload],
+        payload_len=pre.length - 4,
+        crc_ok=crc_ok & pre.sig_ok,
+        mcs=pre.mcs,
+        packet_type_bit=pre.packet_type_bit,
+        n_ofdm_sym=pre.n_ofdm_sym,
+        sig_ok=pre.sig_ok,
+        snr_db=pre.snr_db,
+    )
+
+
+def rx_frame_dynamic(
+    cfg: OFDMConfig,
+    x: jax.Array,
+    trigger: jax.Array,
+    coarse_cfo: jax.Array,
+    *,
+    max_payload: int = 256,
+    estimator: str = "ls",
+) -> DynamicFrame:
+    """Sync + equalize + decode one frame with SIG-discovered parameters."""
+    pre = rx_frame_dynamic_values(
+        cfg, x, trigger, coarse_cfo, max_payload=max_payload,
+        estimator=estimator,
+    )
+    decoded = viterbi_decode(pre.values, n_out=16 + 8 * (max_payload + 4))
+    return rx_frame_dynamic_finish(pre, decoded, max_payload)
