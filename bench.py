@@ -33,6 +33,7 @@ import sys
 import time
 
 BASELINE_SPS = 100e6  # north-star: 100 Msamples/s/chip full RX chain
+DYN_MAX_PAYLOAD = 96  # SIG-driven secondary measurement's length envelope
 # Both workers run CONCURRENTLY (accel result preferred): total bench wall
 # time is bounded by max(deadlines) + parent overhead, not the sum. The
 # accel budget covers the axon tunnel's one-time ~60s device→host warm-up.
@@ -80,13 +81,18 @@ def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
         cap[pos : pos + len(frame)] += frame
         pos += len(frame) + gap
         n_frames += 1
-    halo = streaming.frame_window_samples(cfg, spec) + cfg.fft_len
+    # halo must cover the dynamic executor's worst-case window too, so the
+    # same capture can feed the SIG-driven secondary measurement
+    halo = max(
+        streaming.frame_window_samples(cfg, spec),
+        streaming.frame_window_samples_dynamic(cfg, DYN_MAX_PAYLOAD),
+    ) + cfg.fft_len
     cap = np.concatenate([cap, np.zeros(halo, np.complex64)])
     return cap, n_frames
 
 
 def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames,
-                  n_iter=10):
+                  n_iter=10, measure_dynamic=True):
     """Compile + time + verify on one device; yields a preliminary
     (timing-only) result before the verification d2h, then the verified
     upgrade. Raises on any failure."""
@@ -153,12 +159,49 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
     host = np.asarray(out0)  # raises if buffers were poisoned
     n_valid, n_crc = int(host[0, 0]), int(host[0, 1])
     _log(f"verified {n_valid}/{n_frames} frames, crc {n_crc}")
-    yield {
+    verified = {
         **prelim,
         "verified": True,
         "n_valid": n_valid,
         "n_crc": n_crc,
         "correct": n_valid == n_frames and n_crc == n_frames,
+    }
+    yield dict(verified)
+    if not measure_dynamic:
+        return
+
+    # secondary (optional — after the primary verified line, so a deadline
+    # kill never loses it): the honest SIG-driven dynamic executor, which
+    # discovers MCS/length/type per frame instead of specializing on spec
+    def counts_dyn(xx):
+        res = streaming.scan_rx_dynamic(
+            cfg, xx, block_len, n_blocks,
+            max_frames_per_block=max_frames, max_payload=DYN_MAX_PAYLOAD,
+        )
+        return jnp.stack(
+            [
+                jnp.sum(res.valid.astype(jnp.float32)),
+                jnp.sum(res.crc_ok.astype(jnp.float32)),
+            ]
+        ).reshape(1, 2)
+
+    fd = jax.jit(counts_dyn)
+    t0 = time.time()
+    dyn0 = np.asarray(fd(x))
+    _log(f"dynamic compile+first-run {time.time() - t0:.1f}s")
+    t0 = time.time()
+    n_dyn_iter = max(2, n_iter // 2)
+    for _ in range(n_dyn_iter):
+        out = fd(x)
+    np.asarray(out)
+    dyn_dt = (time.time() - t0) / n_dyn_iter
+    _log(f"dynamic timing {dyn_dt * 1e3:.1f} ms/iter")
+    yield {
+        **verified,
+        "dynamic_sps": n_samples / dyn_dt,
+        "dynamic_crc_ok": int(dyn0[0, 1]),
+        "dynamic_correct": int(dyn0[0, 0]) == n_frames
+        and int(dyn0[0, 1]) == n_frames,
     }
 
 
@@ -181,7 +224,7 @@ def worker(kind: str) -> int:
         return 1
 
     block_len = 1 << 15
-    n_blocks = 32 if kind == "accel" else 8
+    n_blocks = 64 if kind == "accel" else 8
     n_samples = block_len * n_blocks
     cfg = OFDMConfig()
     spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
@@ -193,6 +236,7 @@ def worker(kind: str) -> int:
     for res in run_on_device(
         dev, cap, n_frames, cfg, spec, block_len, n_blocks,
         max_frames=12, n_iter=10 if kind == "accel" else 2,
+        measure_dynamic=(kind == "accel"),
     ):
         res["device"] = str(dev)
         res["n_frames"] = n_frames
@@ -295,6 +339,10 @@ def main() -> int:
         out["frames_decoded"] = result["n_valid"]
         out["crc_ok"] = result["n_crc"]
         out["correct"] = result["correct"]
+        if "dynamic_sps" in result:
+            out["dynamic_sps"] = round(result["dynamic_sps"], 1)
+            out["dynamic_crc_ok"] = result["dynamic_crc_ok"]
+            out["dynamic_correct"] = result["dynamic_correct"]
     elif cpu and cpu.get("verified"):
         # accel verification d2h didn't finish — same compiled program,
         # independently verified end-to-end on the CPU backend
