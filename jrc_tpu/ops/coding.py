@@ -76,6 +76,21 @@ def scramble(bits: jax.Array, seed) -> jax.Array:
     return jnp.bitwise_xor(bits.astype(jnp.uint8), seq)
 
 
+@lru_cache(maxsize=32)
+def _descramble_basis(n: int) -> np.ndarray:
+    """(7, n) LFSR output basis: row j is the sequence from initial state
+    e_j = bit j of the MSB-first packed state. The LFSR is linear over
+    GF(2), so the sequence for any state is the XOR of the rows whose state
+    bits are set."""
+    cycle, phase = _scrambler_tables()
+    basis = np.zeros((7, n), np.uint8)
+    for j in range(7):
+        s = 1 << (6 - j)  # MSB-first packing
+        idx = (phase[s] + np.arange(n)) % 127
+        basis[j] = cycle[idx]
+    return basis
+
+
 def descramble(bits: jax.Array) -> jax.Array:
     """Self-synchronizing descramble: recover LFSR state from the first 7 bits.
 
@@ -83,17 +98,18 @@ def descramble(bits: jax.Array) -> jax.Array:
     first 7 received bits are the raw LFSR output; the reference packs them
     MSB-first into the state (lib/stream_decoder_impl.cc:409-433) and
     descrambles from bit 7 on. Returns bits with positions 0..6 zeroed.
+
+    The LFSR is linear over GF(2), so the seed-dependent sequence is the XOR
+    of 7 static basis sequences selected by the recovered state bits — pure
+    elementwise work (the phase-gather formulation this replaces was a
+    dominant cost of the batched frame-finish stage on TPU).
     """
     n = bits.shape[-1]
     bits = bits.astype(jnp.uint8)
-    weights = (1 << jnp.arange(6, -1, -1, dtype=jnp.int32))  # MSB-first
-    state7 = jnp.sum(bits[..., :7].astype(jnp.int32) * weights, axis=-1)
-    cycle, phase = _scrambler_tables()
-    cycle_t = jnp.asarray(cycle, jnp.uint8)
-    phase_t = jnp.asarray(phase, jnp.int32)
-    p = phase_t[state7]
-    idx = (p[..., None] + jnp.arange(n - 7, dtype=jnp.int32)) % 127
-    seq = cycle_t[idx]
+    basis = _descramble_basis(n - 7)  # (7, n-7) numpy constants
+    seq = jnp.zeros_like(bits[..., 7:])
+    for j in range(7):
+        seq = seq ^ (bits[..., j : j + 1] & jnp.asarray(basis[j]))
     head = jnp.zeros_like(bits[..., :7])
     return jnp.concatenate([head, jnp.bitwise_xor(bits[..., 7:], seq)], axis=-1)
 
@@ -225,32 +241,62 @@ def crc32_host(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
 
 
+@lru_cache(maxsize=8)
+def _crc32_linear_tables(n_max: int):
+    """CRC-32 is linear over GF(2), so the register after a message is the
+    XOR of per-byte contributions that depend only on (byte value, distance
+    from the message end) plus a length-dependent init term:
+
+        crc(msg[:L]) = E[L] ⊕ ⨁_j T[L−1−j, msg[j]] ⊕ 0xFFFFFFFF
+
+    T[d, v] = register from byte v propagated through d trailing zero bytes
+    (starting register 0); E[L] = the 0xFFFFFFFF init register propagated
+    through L zero bytes. Returns (T (n_max, 256), E (n_max+1,)) uint32.
+    """
+    tab = _crc32_table()
+
+    def zstep(crc):
+        return tab[crc & 0xFF] ^ (crc >> 8)
+
+    T = np.zeros((n_max, 256), np.uint64)
+    T[0] = tab.astype(np.uint64)
+    for d in range(1, n_max):
+        T[d] = zstep(T[d - 1].astype(np.uint32)).astype(np.uint64)
+    E = np.zeros(n_max + 1, np.uint64)
+    E[0] = 0xFFFFFFFF
+    for i in range(1, n_max + 1):
+        E[i] = zstep(np.uint32(E[i - 1]))
+    return T.astype(np.uint32), E.astype(np.uint32)
+
+
 def crc32_bytes(data: jax.Array, n_valid=None) -> jax.Array:
-    """In-jit CRC-32 over (..., n) uint8 byte arrays via table-driven scan.
+    """In-jit CRC-32 over (..., n) uint8 byte arrays.
 
     ``n_valid`` (traced or static) limits the CRC to the first bytes; trailing
-    bytes are skipped with a mask so frames of different byte lengths share a
-    single compiled program.
+    bytes are skipped so frames of different byte lengths share a single
+    compiled program.
+
+    Uses the GF(2)-linear decomposition (one small-table gather + XOR-tree
+    reduce) instead of a byte-serial table scan — the scan was ~n sequential
+    steps each paying TPU kernel overhead and dominated the frame-finish
+    stage of the batched RX.
     """
-    tab = jnp.asarray(_crc32_table())
-    data = data.astype(jnp.uint32)
     n = data.shape[-1]
+    T_np, E_np = _crc32_linear_tables(n)
+    data = data.astype(jnp.int32)
     if n_valid is None:
         n_valid = n
     n_valid = jnp.asarray(n_valid, jnp.int32)
-    batch_shape = data.shape[:-1]
-    crc0 = jnp.full(batch_shape, 0xFFFFFFFF, jnp.uint32)
-
-    def step(crc, xs):
-        byte, i = xs
-        nxt = tab[(crc ^ byte) & 0xFF] ^ (crc >> 8)
-        crc = jnp.where(i < n_valid, nxt, crc)
-        return crc, None
-
-    bytes_t = jnp.moveaxis(data, -1, 0)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    crc, _ = jax.lax.scan(step, crc0, (bytes_t, idx))
-    return crc ^ jnp.uint32(0xFFFFFFFF)
+    j = jnp.arange(n, dtype=jnp.int32)
+    d = n_valid[..., None] - 1 - j  # distance from message end
+    flat = jnp.clip(d, 0, n - 1) * 256 + data
+    contrib = jnp.asarray(T_np.reshape(-1))[flat]
+    contrib = jnp.where(d >= 0, contrib, jnp.uint32(0))
+    crc = jax.lax.reduce(
+        contrib, np.uint32(0), jax.lax.bitwise_xor, (contrib.ndim - 1,)
+    )
+    init = jnp.asarray(E_np)[jnp.clip(n_valid, 0, n)]
+    return crc ^ init ^ jnp.uint32(0xFFFFFFFF)
 
 
 def crc32_check_residue(payload_with_fcs: jax.Array, n_valid=None) -> jax.Array:
