@@ -212,16 +212,17 @@ def scan_rx(
         cfo_flat = det.coarse_cfo.reshape(-1)
         n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
 
-        def one_frame(trigger, cfo):
-            syms_t, total_cfo, found = sync.extract_frame(
-                cfg, xp, trigger, cfo, n_sym
-            )
-            grid = ofdm.fft_symbols(cfg, syms_t)
-            eq = equalizer.equalize_frame(cfg, spec, grid, total_cfo)
-            values = decoder.frame_values(spec, eq.z)
-            return values, found, eq.sig_ok, eq.snr_legacy
+        syms, total_cfo, found = sync.extract_frames_batch(
+            cfg, xp, trig_flat, cfo_flat, n_sym
+        )
 
-        values, found, sig_ok, snr = jax.vmap(one_frame)(trig_flat, cfo_flat)
+        def one_frame(sym, tc):
+            eq = equalizer.equalize_frame(
+                cfg, spec, ofdm.fft_symbols(cfg, sym), tc
+            )
+            return decoder.frame_values(spec, eq.z), eq.sig_ok, eq.snr_legacy
+
+        values, sig_ok, snr = jax.vmap(one_frame)(syms, total_cfo)
         n_data_bits = spec.packet_params.n_data_bits
         bits = _viterbi_backend(viterbi_backend)(values, n_out=n_data_bits)
         dec = decoder.frame_from_bits(spec, bits)
@@ -383,11 +384,15 @@ def scan_rx_dynamic(
         owned = det.valid
         trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
         cfo_flat = det.coarse_cfo.reshape(-1)
+        n_sym_total = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
+        syms, total_cfo, _found = sync.extract_frames_batch(
+            cfg, xp, trig_flat, cfo_flat, n_sym_total
+        )
         pre = jax.vmap(
-            lambda t, c: dynamic_rx.rx_frame_dynamic_values(
-                cfg, xp, t, c, max_payload=max_payload
+            lambda sym, tc: dynamic_rx.rx_frame_dynamic_values_from_syms(
+                cfg, sym, tc, max_payload=max_payload
             )
-        )(trig_flat, cfo_flat)
+        )(syms, total_cfo)
         bits = _viterbi_backend(viterbi_backend)(
             pre.values, n_out=16 + 8 * (max_payload + 4)
         )

@@ -187,6 +187,23 @@ def rx_frame_dynamic_values(
     syms_t, total_cfo, _found = sync.extract_frame(
         cfg, x, trigger, coarse_cfo, n_sym_total
     )
+    return rx_frame_dynamic_values_from_syms(
+        cfg, syms_t, total_cfo, max_payload=max_payload, estimator=estimator
+    )
+
+
+def rx_frame_dynamic_values_from_syms(
+    cfg: OFDMConfig,
+    syms_t,  # (n_sym_total, fft_len) time-domain symbols from extract
+    total_cfo: jax.Array,
+    *,
+    max_payload: int = 256,
+    estimator: str = "ls",
+) -> DynamicPre:
+    """SIG decode + equalize + demod from already-extracted symbols (the
+    batching executor extracts all frames at once; see
+    sync.extract_frames_batch)."""
+    max_n_sym = max_symbols(max_payload)
     grid = ofdm.fft_symbols(cfg, syms_t)
     grid = equalizer.sampling_offset_compensate(cfg, grid, total_cfo)
 

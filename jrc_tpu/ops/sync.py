@@ -443,3 +443,48 @@ def extract_frame(
     symbols = cx.concatenate([ltf, rest[..., cfg.cp_len :]], axis=0)
     total_cfo = coarse_cfo - sr.fine_cfo
     return symbols, total_cfo, sr.found
+
+
+def extract_frames_batch(
+    cfg: OFDMConfig,
+    x: cx.CArray,  # flat sample stream
+    triggers: jax.Array,  # (B,) int32
+    coarse_cfos: jax.Array,  # (B,) float32
+    n_sym: int,
+    sync_length: int | None = None,
+):
+    """Batched :func:`extract_frame` over all detected frames of a capture.
+
+    Same math, but the two per-frame window reads go through a contiguous
+    row-gather primitive (the Pallas DMA kernel on TPU — an XLA gather of
+    per-frame rows runs ~100× off HBM bandwidth and dominated the frame
+    path; vmapped dynamic slices on CPU). Returns
+    (symbols (B, n_sym, fft), total_cfo (B,), found (B,)).
+    """
+    from jrc_tpu.ops.gather_pallas import gather_rows
+
+    if sync_length is None:
+        sync_length = cfg.n_sync_words * cfg.sym_len
+    x = cx.from_complex(x)
+
+    need_corr = sync_length + cfg.fft_len - 1
+    w_corr = gather_rows(x, triggers, need_corr)  # (B, need_corr)
+    nvec = jnp.arange(need_corr, dtype=jnp.float32)
+    w_corr = w_corr * cx.expj(-coarse_cfos[:, None] * nvec[None, :])
+    corr = ltf_correlate(cfg, w_corr)[..., :sync_length]
+    sr = jax.vmap(lambda c: search_frame_start(cfg, c))(corr)
+
+    assert cfg.sym_len == cfg.fft_len + cfg.cp_len
+    need_sym = 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len
+    w_sym = gather_rows(x, triggers + sr.frame_start, need_sym)
+    b = w_sym.shape[0]
+    phase = (sr.fine_cfo - coarse_cfos)[:, None] * (
+        sr.frame_start.astype(jnp.float32)[:, None]
+        + jnp.arange(need_sym, dtype=jnp.float32)[None, :]
+    )
+    w_sym = w_sym * cx.expj(phase)
+    ltf = w_sym[..., : 2 * cfg.fft_len].reshape(b, 2, cfg.fft_len)
+    rest = w_sym[..., 2 * cfg.fft_len :].reshape(b, n_sym - 2, cfg.sym_len)
+    symbols = cx.concatenate([ltf, rest[..., cfg.cp_len :]], axis=1)
+    total_cfo = coarse_cfos - sr.fine_cfo
+    return symbols, total_cfo, sr.found
