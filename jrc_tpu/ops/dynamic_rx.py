@@ -249,35 +249,59 @@ def rx_frame_dynamic_values_from_syms(
 
     h0 = cx.where(is_data_frame, h_eff, h_legacy)
 
-    def step(carry, xs):
-        h, sig_sum, noise_sum, count = carry
-        y, ref, k = xs
-        active_sym = k < n_sym
-        beta_k, est = equalizer.common_phase_error(cfg, y, h, ref)
-        y = y * cx.expj(-beta_k)
-        w = active_sym.astype(jnp.float32)
-        sig_sum = sig_sum + w * jnp.sum(cx.abs2(est))
-        noise_sum = noise_sum + w * jnp.sum(cx.abs2(est - y[pidx]))
-        count = count + jnp.where(active_sym, cfg.n_pilot_carriers, 0)
-        csi = cx.abs2(h[didx]) + noise_sum / jnp.maximum(count, 1)
-        z_mmse = cx.mul_conj(y[didx], h[didx]) / csi
-        z_zf = y[didx] / h[didx]
+    if not sta:
+        # fixed h ⇒ only the running pilot-noise average is sequential — a
+        # length-max_n_sym cumsum; per-symbol CPE/equalization is parallel
+        # (mirrors equalizer.equalize_data_symbols' non-STA fast path)
+        ks = jnp.arange(max_n_sym)
+        active = ks < n_sym
+        w = active.astype(jnp.float32)
+
+        def per_symbol(y, ref):
+            beta_k, est = equalizer.common_phase_error(cfg, y, h0, ref)
+            y = y * cx.expj(-beta_k)
+            return y, jnp.sum(cx.abs2(est)), jnp.sum(cx.abs2(est - y[pidx]))
+
+        y_rot, _sig_k, noise_k = jax.vmap(per_symbol)(y_data, refs)
+        noise_cum = jnp.cumsum(w * noise_k)
+        count_cum = jnp.cumsum(jnp.where(active, cfg.n_pilot_carriers, 0))
+        csi = (
+            cx.abs2(h0[didx])[None, :]
+            + (noise_cum / jnp.maximum(count_cum, 1))[:, None]
+        )
+        z_mmse = cx.mul_conj(y_rot[:, didx], h0[None, didx]) / csi
+        z_zf = y_rot[:, didx] / h0[None, didx]
         z = cx.where(is_data_frame, z_mmse, z_zf)
-        if sta:
+        z = cx.where(active[:, None], z, cx.zeros(z.shape))
+    else:
+        def step(carry, xs):
+            h, sig_sum, noise_sum, count = carry
+            y, ref, k = xs
+            active_sym = k < n_sym
+            beta_k, est = equalizer.common_phase_error(cfg, y, h, ref)
+            y = y * cx.expj(-beta_k)
+            w = active_sym.astype(jnp.float32)
+            sig_sum = sig_sum + w * jnp.sum(cx.abs2(est))
+            noise_sum = noise_sum + w * jnp.sum(cx.abs2(est - y[pidx]))
+            count = count + jnp.where(active_sym, cfg.n_pilot_carriers, 0)
+            csi = cx.abs2(h[didx]) + noise_sum / jnp.maximum(count, 1)
+            z_mmse = cx.mul_conj(y[didx], h[didx]) / csi
+            z_zf = y[didx] / h[didx]
+            z = cx.where(is_data_frame, z_mmse, z_zf)
             x_hat = _sta_remod(z)
             h_upd_data = y[didx] / x_hat
             h_upd_pilot = y[pidx] / ref
             h_new = h.at[didx].set(h[didx] * (1 - alpha) + h_upd_data * alpha)
             h_new = h_new.at[pidx].set(h[pidx] * (1 - alpha) + h_upd_pilot * alpha)
             h = cx.where(active_sym, h_new, h)
-        return (h, sig_sum, noise_sum, count), cx.where(
-            active_sym, z, cx.zeros(z.shape))
+            return (h, sig_sum, noise_sum, count), cx.where(
+                active_sym, z, cx.zeros(z.shape))
 
-    (_, _, _, _), z = jax.lax.scan(
-        step,
-        (h0, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
-        (y_data, refs, jnp.arange(max_n_sym)),
-    )
+        (_, _, _, _), z = jax.lax.scan(
+            step,
+            (h0, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
+            (y_data, refs, jnp.arange(max_n_sym)),
+        )
 
     values = payload_values_dynamic(z, mcs_idx, length, max_payload)
     return DynamicPre(

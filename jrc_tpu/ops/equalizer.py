@@ -141,6 +141,31 @@ def equalize_data_symbols(
 
     h0 = h_eff if is_data else h_legacy
 
+    if not sta:
+        # no decision-directed update ⇒ h is fixed and the only sequential
+        # dependency is the running pilot-noise average inside the MMSE
+        # loading — a length-n_sym cumsum. Everything else is per-symbol
+        # parallel (the scan formulation paid ~5 kernels of latency per
+        # symbol; the reference's loop is sample-serial anyway,
+        # lib/mimo_ofdm_equalizer_impl.cc:453-592).
+        def per_symbol(y, ref):
+            beta, est = common_phase_error(cfg, y, h0, ref)
+            y = y * cx.expj(-beta)
+            return y, jnp.sum(cx.abs2(est)), jnp.sum(cx.abs2(est - y[pidx]))
+
+        y_rot, sig_k, noise_k = jax.vmap(per_symbol)(y_data, ref_pilots_all)
+        noise_cum = jnp.cumsum(noise_k)  # inclusive, as the scan ordered it
+        count_cum = jnp.arange(1, n_sym + 1) * cfg.n_pilot_carriers
+        if is_data:
+            csi = cx.abs2(h0[didx])[None, :] + (noise_cum / count_cum)[:, None]
+            z = cx.mul_conj(y_rot[:, didx], h0[None, didx]) / csi
+        else:
+            z = y_rot[:, didx] / h0[None, didx]
+        sig_sum, noise_sum = jnp.sum(sig_k), noise_k.sum()
+        count = n_sym * cfg.n_pilot_carriers
+        snr_data = 10.0 * jnp.log10((sig_sum / count) / (noise_sum / count))
+        return z, snr_data
+
     def step(carry, xs):
         h, sig_sum, noise_sum, count = carry
         y, ref = xs
