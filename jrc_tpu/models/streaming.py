@@ -157,6 +157,61 @@ def rx_block(
     return _finish_block(spec, pre, bits)
 
 
+def flat_rx(
+    cfg: OFDMConfig,
+    spec: FrameSpec,
+    xp: cx.CArray,  # flat [left-history | n_blocks·block_len | halo] stream
+    block_len: int,
+    n_blocks: int,
+    own_lo: int,
+    *,
+    max_frames: int = 8,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    viterbi_backend: str = "auto",
+) -> BlockRxResult:
+    """One flat pass over a pre-assembled stream: detection
+    (autocorr/trigger/candidates) runs once over the unduplicated samples,
+    every frame is extracted in one DMA-gathered batch, and ONE Viterbi call
+    decodes them all. ``start`` is reported relative to ``own_lo``; results
+    are (n_blocks·max_frames,)-flat. Used by scan_rx (left history = zeros)
+    and by the sharded executor's per-device body (left history = the
+    ppermute'd neighbor tail)."""
+    mf = max_frames
+    det = sync.detect_frames_stream(
+        cfg, xp, block_len, n_blocks, own_lo,
+        threshold=threshold, min_n_peaks=min_n_peaks, max_frames=mf,
+    )
+    owned = det.valid
+    trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
+    cfo_flat = det.coarse_cfo.reshape(-1)
+    n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+
+    syms, total_cfo, found = sync.extract_frames_batch(
+        cfg, xp, trig_flat, cfo_flat, n_sym
+    )
+
+    def one_frame(sym, tc):
+        eq = equalizer.equalize_frame(
+            cfg, spec, ofdm.fft_symbols(cfg, sym), tc
+        )
+        return decoder.frame_values(spec, eq.z), eq.sig_ok, eq.snr_legacy
+
+    values, sig_ok, snr = jax.vmap(one_frame)(syms, total_cfo)
+    n_data_bits = spec.packet_params.n_data_bits
+    bits = _viterbi_backend(viterbi_backend)(values, n_out=n_data_bits)
+    dec = decoder.frame_from_bits(spec, bits)
+    owned_flat = owned.reshape(-1)
+    return BlockRxResult(
+        payload=dec.payload,
+        crc_ok=dec.crc_ok & found & owned_flat,
+        sig_ok=sig_ok & owned_flat,
+        snr_db=snr,
+        start=jnp.where(owned, det.start - own_lo, -1).reshape(-1),
+        valid=owned_flat,
+    )
+
+
 def scan_rx(
     cfg: OFDMConfig,
     spec: FrameSpec,
@@ -198,42 +253,10 @@ def scan_rx(
         )
 
     if batched and block_len % sync.SEG == 0:
-        # one flat pass: detection (autocorr/trigger/candidates) runs once
-        # over the unduplicated stream, then every frame is extracted
-        # straight from it with a single flat vmap — no per-block window
-        # copies, no recomputed overlaps
-        mf = max_frames_per_block
-        det = sync.detect_frames_stream(
-            cfg, xp, block_len, n_blocks, left_hist,
-            threshold=threshold, min_n_peaks=min_n_peaks, max_frames=mf,
-        )
-        owned = det.valid
-        trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
-        cfo_flat = det.coarse_cfo.reshape(-1)
-        n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
-
-        syms, total_cfo, found = sync.extract_frames_batch(
-            cfg, xp, trig_flat, cfo_flat, n_sym
-        )
-
-        def one_frame(sym, tc):
-            eq = equalizer.equalize_frame(
-                cfg, spec, ofdm.fft_symbols(cfg, sym), tc
-            )
-            return decoder.frame_values(spec, eq.z), eq.sig_ok, eq.snr_legacy
-
-        values, sig_ok, snr = jax.vmap(one_frame)(syms, total_cfo)
-        n_data_bits = spec.packet_params.n_data_bits
-        bits = _viterbi_backend(viterbi_backend)(values, n_out=n_data_bits)
-        dec = decoder.frame_from_bits(spec, bits)
-        owned_flat = owned.reshape(-1)
-        return BlockRxResult(
-            payload=dec.payload,
-            crc_ok=dec.crc_ok & found & owned_flat,
-            sig_ok=sig_ok & owned_flat,
-            snr_db=snr,
-            start=jnp.where(owned, det.start - left_hist, -1).reshape(-1),
-            valid=owned_flat,
+        return flat_rx(
+            cfg, spec, xp, block_len, n_blocks, left_hist,
+            max_frames=max_frames_per_block, threshold=threshold,
+            min_n_peaks=min_n_peaks, viterbi_backend=viterbi_backend,
         )
     if batched:
         starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
@@ -342,6 +365,57 @@ def rx_block_dynamic(
     )
 
 
+def flat_rx_dynamic(
+    cfg: OFDMConfig,
+    xp: cx.CArray,  # flat [left-history | n_blocks·block_len | halo] stream
+    block_len: int,
+    n_blocks: int,
+    own_lo: int,
+    *,
+    max_frames: int = 8,
+    max_payload: int = 256,
+    threshold: float = 0.6,
+    min_n_peaks: int = 10,
+    viterbi_backend: str = "auto",
+) -> DynBlockRxResult:
+    """SIG-driven analog of :func:`flat_rx`: one detection pass, one
+    DMA-gathered extraction batch, one shared-envelope Viterbi call."""
+    det = sync.detect_frames_stream(
+        cfg, xp, block_len, n_blocks, own_lo,
+        threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames,
+    )
+    owned = det.valid
+    trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
+    cfo_flat = det.coarse_cfo.reshape(-1)
+    n_sym_total = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
+    syms, total_cfo, _found = sync.extract_frames_batch(
+        cfg, xp, trig_flat, cfo_flat, n_sym_total
+    )
+    pre = jax.vmap(
+        lambda sym, tc: dynamic_rx.rx_frame_dynamic_values_from_syms(
+            cfg, sym, tc, max_payload=max_payload
+        )
+    )(syms, total_cfo)
+    bits = _viterbi_backend(viterbi_backend)(
+        pre.values, n_out=16 + 8 * (max_payload + 4)
+    )
+    frames = jax.vmap(
+        lambda p, b: dynamic_rx.rx_frame_dynamic_finish(p, b, max_payload)
+    )(pre, bits)
+    owned_flat = owned.reshape(-1)
+    return DynBlockRxResult(
+        payload=frames.payload,
+        payload_len=jnp.where(owned_flat, frames.payload_len, 0),
+        crc_ok=frames.crc_ok & owned_flat,
+        sig_ok=frames.sig_ok & owned_flat,
+        mcs=frames.mcs,
+        packet_type_bit=frames.packet_type_bit,
+        snr_db=frames.snr_db,
+        start=jnp.where(owned, det.start - own_lo, -1).reshape(-1),
+        valid=owned_flat,
+    )
+
+
 def scan_rx_dynamic(
     cfg: OFDMConfig,
     x: jax.Array,  # (n_blocks·block_len + halo,) samples
@@ -376,40 +450,11 @@ def scan_rx_dynamic(
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
     if batched and block_len % sync.SEG == 0:
-        mf = max_frames_per_block
-        det = sync.detect_frames_stream(
+        return flat_rx_dynamic(
             cfg, xp, block_len, n_blocks, left_hist,
-            threshold=threshold, min_n_peaks=min_n_peaks, max_frames=mf,
-        )
-        owned = det.valid
-        trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
-        cfo_flat = det.coarse_cfo.reshape(-1)
-        n_sym_total = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
-        syms, total_cfo, _found = sync.extract_frames_batch(
-            cfg, xp, trig_flat, cfo_flat, n_sym_total
-        )
-        pre = jax.vmap(
-            lambda sym, tc: dynamic_rx.rx_frame_dynamic_values_from_syms(
-                cfg, sym, tc, max_payload=max_payload
-            )
-        )(syms, total_cfo)
-        bits = _viterbi_backend(viterbi_backend)(
-            pre.values, n_out=16 + 8 * (max_payload + 4)
-        )
-        frames = jax.vmap(
-            lambda p, b: dynamic_rx.rx_frame_dynamic_finish(p, b, max_payload)
-        )(pre, bits)
-        owned_flat = owned.reshape(-1)
-        return DynBlockRxResult(
-            payload=frames.payload,
-            payload_len=jnp.where(owned_flat, frames.payload_len, 0),
-            crc_ok=frames.crc_ok & owned_flat,
-            sig_ok=frames.sig_ok & owned_flat,
-            mcs=frames.mcs,
-            packet_type_bit=frames.packet_type_bit,
-            snr_db=frames.snr_db,
-            start=jnp.where(owned, det.start - left_hist, -1).reshape(-1),
-            valid=owned_flat,
+            max_frames=max_frames_per_block, max_payload=max_payload,
+            threshold=threshold, min_n_peaks=min_n_peaks,
+            viterbi_backend=viterbi_backend,
         )
     if batched:
         blocks = cx.stack(

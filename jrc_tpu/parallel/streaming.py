@@ -117,18 +117,33 @@ def _build_sharded_rx(
         )
         x_ext = cx.concatenate([left_halo, x_local, right_halo], axis=-1)
         t = jax.lax.axis_index("time").astype(jnp.int32)
+        flat_ok = block_len % 128 == 0  # sync.SEG alignment
         if dynamic:
-            res = block_rx.rx_block_dynamic(
-                cfg, x_ext, block_len, own_lo=left_hist,
-                max_frames=max_frames, max_payload=max_payload,
-                threshold=threshold, min_n_peaks=min_n_peaks,
-            )
+            if flat_ok:
+                res = block_rx.flat_rx_dynamic(
+                    cfg, x_ext, block_len, 1, left_hist,
+                    max_frames=max_frames, max_payload=max_payload,
+                    threshold=threshold, min_n_peaks=min_n_peaks,
+                )
+            else:
+                res = block_rx.rx_block_dynamic(
+                    cfg, x_ext, block_len, own_lo=left_hist,
+                    max_frames=max_frames, max_payload=max_payload,
+                    threshold=threshold, min_n_peaks=min_n_peaks,
+                )
         else:
-            res = block_rx.rx_block(
-                cfg, spec, x_ext, block_len, own_lo=left_hist,
-                max_frames=max_frames, threshold=threshold,
-                min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
-            )
+            if flat_ok and estimator == "ls" and not soft:
+                res = block_rx.flat_rx(
+                    cfg, spec, x_ext, block_len, 1, left_hist,
+                    max_frames=max_frames, threshold=threshold,
+                    min_n_peaks=min_n_peaks,
+                )
+            else:
+                res = block_rx.rx_block(
+                    cfg, spec, x_ext, block_len, own_lo=left_hist,
+                    max_frames=max_frames, threshold=threshold,
+                    min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
+                )
         global_start = jnp.where(res.valid, res.start + t * block_len, -1)
         n_frames = jax.lax.psum(jnp.sum(res.valid.astype(jnp.int32)), "time")
         n_ok = jax.lax.psum(jnp.sum(res.crc_ok.astype(jnp.int32)), "time")
