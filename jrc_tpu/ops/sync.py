@@ -250,23 +250,51 @@ def detect_frames_stream(
     n = x.shape[-1]
     max_peak_distance = 2 * cfg.sym_len
     assert max_peak_distance > SEG
-
-    a, cor = autocorrelation(cfg, x)
-    mask = (cor > threshold) & (cor < 2.0)
-    trigger = _gap_tolerant_triggers(mask, min_n_peaks, max_peak_distance)
-    tf = trigger.astype(jnp.float32)
-    trigger = trigger & (moving_sum(tf, max_peak_distance) - tf == 0)
-
-    # one first-trigger candidate per segment (exact: sparsified triggers
-    # are ≥ max_peak_distance > SEG apart)
     n_seg = -(-n // SEG)
-    tpad = jnp.pad(trigger, (0, n_seg * SEG - n))
-    tseg = tpad.reshape(n_seg, SEG)
-    seg_has = jnp.any(tseg, axis=-1)
-    seg_first = jnp.argmax(tseg, axis=-1).astype(jnp.int32)
-    cand_all = jnp.where(
-        seg_has, jnp.arange(n_seg, dtype=jnp.int32) * SEG + seg_first, n
-    )
+
+    if jax.default_backend() != "cpu":
+        # fused single-pass Pallas front-end (autocorr → mask → trigger →
+        # per-segment candidates, all intermediates VMEM-resident)
+        from jrc_tpu.ops.detect_pallas import detect_front_end
+
+        a_re, a_im, seg_first, seg_count = detect_front_end(
+            x.re, x.im,
+            threshold=threshold, min_n_peaks=min_n_peaks,
+            max_peak_distance=max_peak_distance,
+            lag=cfg.fft_len // 4, win=cfg.fft_len // 2,
+            pwin=int(1.5 * (cfg.fft_len // 2)),
+        )
+        a = cx.CArray(a_re[:n], a_im[:n])
+        seg_first = seg_first[:n_seg]
+        cand_all = jnp.where(
+            seg_first < SEG,
+            jnp.arange(n_seg, dtype=jnp.int32) * SEG + seg_first,
+            n,
+        )
+        own_rows = seg_count[own_lo // SEG : own_lo // SEG + n_blocks * block_len // SEG]
+        n_candidates = jnp.sum(
+            own_rows.reshape(n_blocks, block_len // SEG), axis=-1
+        )
+    else:
+        a, cor = autocorrelation(cfg, x)
+        mask = (cor > threshold) & (cor < 2.0)
+        trigger = _gap_tolerant_triggers(mask, min_n_peaks, max_peak_distance)
+        tf = trigger.astype(jnp.float32)
+        trigger = trigger & (moving_sum(tf, max_peak_distance) - tf == 0)
+
+        # one first-trigger candidate per segment (exact: sparsified
+        # triggers are ≥ max_peak_distance > SEG apart)
+        tpad = jnp.pad(trigger, (0, n_seg * SEG - n))
+        tseg = tpad.reshape(n_seg, SEG)
+        seg_has = jnp.any(tseg, axis=-1)
+        seg_first = jnp.argmax(tseg, axis=-1).astype(jnp.int32)
+        cand_all = jnp.where(
+            seg_has, jnp.arange(n_seg, dtype=jnp.int32) * SEG + seg_first, n
+        )
+        own_span = trigger[own_lo : own_lo + n_blocks * block_len]
+        n_candidates = jnp.sum(
+            own_span.reshape(n_blocks, block_len).astype(jnp.int32), axis=-1
+        )
 
     # per block: the block's own segments plus the ignore_gap span before it
     s_blk = block_len // SEG
@@ -301,10 +329,6 @@ def detect_frames_stream(
     starts = jnp.where(valid, starts, -1)
     cfo = cx.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
     cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)
-    own_span = trigger[own_lo : own_lo + n_blocks * block_len]
-    n_candidates = jnp.sum(
-        own_span.reshape(n_blocks, block_len).astype(jnp.int32), axis=-1
-    )
     return Detections(
         start=starts, coarse_cfo=cfo, valid=valid, n_candidates=n_candidates
     )
