@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jrc_tpu.ops import cplx as cx
 
-GROUP = 8  # rows gathered per grid step (DMAs issued together)
+GROUP = 32  # rows gathered per grid step (DMAs issued together)
 LANE = 128
 
 

@@ -303,12 +303,15 @@ def detect_frames_stream(
     cand_pad = jnp.concatenate(
         [jnp.full(max(0, -base0), n, jnp.int32), cand_all]
     )
-    cand_b = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(
-            cand_pad, max(0, -base0) + base0 + b * s_blk, s_blk + s_ext
-        )
-        for b in range(n_blocks)
-    ])  # (n_blocks, s_blk + s_ext), ascending per block
+    # strided sliding windows via one small gather (the python-loop
+    # dynamic-slice stack compiled O(n_blocks) HLO — 100 s of compile at
+    # 256 blocks; this index table is (n_blocks, s_blk+s_ext) int32, tiny)
+    win_idx = (
+        max(0, -base0) + base0
+        + jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * s_blk
+        + jnp.arange(s_blk + s_ext, dtype=jnp.int32)[None, :]
+    )
+    cand_b = cand_pad[win_idx]  # (n_blocks, s_blk + s_ext), ascending per block
 
     k_cand = max_frames * 4
     cand = jnp.sort(cand_b, axis=-1)[:, :k_cand]

@@ -16,14 +16,20 @@ grids keep all state in VMEM:
   where(), the decision extraction a per-lane variable shift), the decoded
   bits are packed into one uint32 word per 32-step chunk.
 
-Gather-free butterfly: predecessors of next-state s' are (s'>>1) and
-(s'>>1)+32, so candidate planes are sublane-repeats of the two halves of the
-current metric plane:
+Shuffle-light butterfly: predecessors of next-state s' are (s'>>1) and
+(s'>>1)+32, and the output pair (2u, 2u+1) shares the input pair
+(pm[u], pm[u+32]) — so the ACS runs on half-planes with PLAIN slices as
+inputs (lo = pm[0:32], hi = pm[32:64]) producing separate even/odd output
+planes, and pays ONE write-side sublane interleave to restore state order:
 
-    cand0 = repeat(pm[0:32, :], 2, axis=0) + bm0   # pm[prev0(s')], s'=0..63
-    cand1 = repeat(pm[32:64, :], 2, axis=0) + bm1
+    new_e = min(lo + bm0_even, hi + bm1_even)   # states 0,2,…,62
+    new_o = min(lo + bm0_odd,  hi + bm1_odd)    # states 1,3,…,63
+    pm    = interleave(new_e, new_o)
 
-A register-exchange design (survivor bit histories exchanged alongside the
+The earlier formulation used two read-side `jnp.repeat`s over sublanes,
+which Mosaic lowers as per-sublane selects — measured ~40% of kernel
+runtime; the single interleave halves that shuffle traffic. A
+register-exchange design (survivor bit histories exchanged alongside the
 metrics, no traceback at all) was measured at 3.6 ms — the per-step exchange
 of all 18 packed history words costs ~20× the metric work; the
 packed-decision + traceback pair keeps the serial inner loops minimal.
@@ -46,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from jrc_tpu.ops.viterbi import N_STATES, _trellis
 
 LANE = 128
-CHUNK_T = 32  # trellis steps per grid iteration = bits per packed word
+CHUNK_T = 32  # bits per packed decision word (fixed by the uint32 packing)
+GRID_T = 16  # trellis steps per grid iteration (body is fully unrolled —
+#              16 keeps Mosaic compile ~3× faster than 32 at equal runtime)
 
 
 @lru_cache(maxsize=1)
@@ -55,10 +63,40 @@ def _sign_tables():
     return np.asarray(sa, np.float32), np.asarray(sb, np.float32)  # (64, 2)
 
 
-def _fwd_kernel(va_ref, vb_ref, sa_ref, sb_ref, w0_ref, w1_ref, pm_out_ref,
+@lru_cache(maxsize=1)
+def _halfplane_tables():
+    """Even/odd-output sign tables + packing weights for the half-plane ACS.
+
+    Output states are computed as two (32, B) planes — evens (s'=2u) and
+    odds (s'=2u+1); both read the SAME input planes pm[0:32] / pm[32:64]
+    (plain slices, no sublane repeat — the two `jnp.repeat`s were ~40% of the
+    forward kernel's runtime). The stacked [evens; odds] decision plane has
+    row u ↔ state 2u and row 32+u ↔ state 2u+1, so bit weights/group sums
+    are taken against that permuted state order.
+    """
+    sa, sb = _sign_tables()
+    cols = []
+    for plane, sel in (("e", slice(0, 64, 2)), ("o", slice(1, 64, 2))):
+        for j in (0, 1):
+            cols.append(sa[sel, j])
+            cols.append(sb[sel, j])
+    # column order: sa0e, sb0e, sa1e, sb1e, sa0o, sb0o, sa1o, sb1o
+    tabs = np.stack(cols, axis=1).astype(np.float32)  # (32, 8)
+    # row r of the stacked decision plane corresponds to this state:
+    state_of_row = np.concatenate(
+        [np.arange(32) * 2, np.arange(32) * 2 + 1]
+    ).astype(np.int32)
+    lo_rows = np.where(state_of_row < 32)[0]  # rows feeding word w0
+    # states 0..31 ↔ rows 0..15 (evens) and 32..47 (odds); 32..63 ↔ the rest
+    assert lo_rows.tolist() == list(range(16)) + list(range(32, 48))
+    return tabs
+
+
+def _fwd_kernel(va_ref, vb_ref, tabs_ref, w0_ref, w1_ref, pm_out_ref,
                 pm_ref, *, chunk_t: int, n_chunks: int):
     """Grid step i: advance pm (64, B) through chunk_t trellis steps,
-    emitting packed decision words w0/w1 (chunk_t, B) uint32."""
+    emitting packed decision words w0/w1 (chunk_t, B) uint32 (w0 = states
+    0..31, w1 = 32..63)."""
     i = pl.program_id(0)
     b = pm_ref.shape[1]
 
@@ -67,33 +105,38 @@ def _fwd_kernel(va_ref, vb_ref, sa_ref, sb_ref, w0_ref, w1_ref, pm_out_ref,
         pm_ref[:, :] = jnp.full((N_STATES, b), 1e9, jnp.float32)
         pm_ref[0:1, :] = jnp.zeros((1, b), jnp.float32)
 
-    sa0 = sa_ref[:, 0:1]  # (64, 1) expected-output signs, branch j=0
-    sb0 = sb_ref[:, 0:1]
-    sa1 = sa_ref[:, 1:2]
-    sb1 = sb_ref[:, 1:2]
-    # bit weight of state s within its half-word: 1 << (s % 32), as int32
-    # (sum of disjoint powers of two == bitwise OR, sign bit included)
+    names = ("sa0e", "sb0e", "sa1e", "sb1e", "sa0o", "sb0o", "sa1o", "sb1o")
+    c = {k: tabs_ref[:, j : j + 1] for j, k in enumerate(names)}
     srow = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b), 0)
-    weights = jnp.left_shift(jnp.int32(1), srow % 32)
+    state_of_row = jnp.where(srow < 32, 2 * srow, 2 * (srow - 32) + 1)
+    weights = jnp.left_shift(jnp.int32(1), state_of_row % 32)
 
     def body(t, _):
         va = va_ref[pl.ds(t, 1), :]  # (1, B)
         vb = vb_ref[pl.ds(t, 1), :]
-        # branch cost: −(2e−1)·v  (negative when the value agrees with e)
-        bm0 = -(sa0 * va + sb0 * vb)  # (64, B)
-        bm1 = -(sa1 * va + sb1 * vb)
         pm = pm_ref[:, :]
-        cand0 = jnp.repeat(pm[0:32, :], 2, axis=0) + bm0
-        cand1 = jnp.repeat(pm[32:64, :], 2, axis=0) + bm1
-        dec = cand1 < cand0  # True ⇒ take branch j=1
-        pm_ref[:, :] = jnp.minimum(cand0, cand1)
+        lo = pm[0:32, :]  # pm[s'>>1] for every output pair (2u, 2u+1)
+        hi = pm[32:64, :]  # pm[(s'>>1)+32]
+        # branch cost: −(2e−1)·v  (negative when the value agrees with e)
+        cand0e = lo - (c["sa0e"] * va + c["sb0e"] * vb)
+        cand1e = hi - (c["sa1e"] * va + c["sb1e"] * vb)
+        cand0o = lo - (c["sa0o"] * va + c["sb0o"] * vb)
+        cand1o = hi - (c["sa1o"] * va + c["sb1o"] * vb)
+        dec_e = cand1e < cand0e  # True ⇒ take branch j=1
+        dec_o = cand1o < cand0o
+        new_e = jnp.minimum(cand0e, cand1e)  # states 0,2,…,62 in u-order
+        new_o = jnp.minimum(cand0o, cand1o)  # states 1,3,…,63
+        # one write-side interleave replaces the two read-side repeats
+        pm_ref[:, :] = jnp.stack([new_e, new_o], axis=1).reshape(N_STATES, b)
+        dec = jnp.concatenate([dec_e, dec_o], axis=0)  # row r ↔ state_of_row
         bits = jnp.where(dec, weights, 0)
-        w0_ref[pl.ds(t, 1), :] = jax.lax.bitcast_convert_type(
-            jnp.sum(bits[0:32, :], axis=0, keepdims=True), jnp.uint32
-        )
-        w1_ref[pl.ds(t, 1), :] = jax.lax.bitcast_convert_type(
-            jnp.sum(bits[32:64, :], axis=0, keepdims=True), jnp.uint32
-        )
+        # states 0..31 live in rows [0:16] ∪ [32:48] of the stacked plane
+        w0 = (jnp.sum(bits[0:16, :], axis=0, keepdims=True)
+              + jnp.sum(bits[32:48, :], axis=0, keepdims=True))
+        w1 = (jnp.sum(bits[16:32, :], axis=0, keepdims=True)
+              + jnp.sum(bits[48:64, :], axis=0, keepdims=True))
+        w0_ref[pl.ds(t, 1), :] = jax.lax.bitcast_convert_type(w0, jnp.uint32)
+        w1_ref[pl.ds(t, 1), :] = jax.lax.bitcast_convert_type(w1, jnp.uint32)
         return 0
 
     jax.lax.fori_loop(0, chunk_t, body, 0, unroll=chunk_t)
@@ -150,15 +193,14 @@ def viterbi_decode_pallas(
     t_steps = values.shape[-1] // 2
     v = values.reshape(-1, 2 * t_steps).astype(jnp.float32)
     B = v.shape[0]
-    n_chunks = -(-t_steps // CHUNK_T)
-    t_pad = n_chunks * CHUNK_T
+    n_chunks = -(-t_steps // GRID_T)
+    t_pad = n_chunks * GRID_T
     b_pad = -(-B // LANE) * LANE
 
     v = v.reshape(B, t_steps, 2)
     v = jnp.pad(v, ((0, b_pad - B), (0, t_pad - t_steps), (0, 0)))
     va = jnp.transpose(v[:, :, 0])  # (T', B')
     vb = jnp.transpose(v[:, :, 1])
-    sa, sb = _sign_tables()
 
     def spec(shape, index_map):
         if interpret:
@@ -166,17 +208,16 @@ def viterbi_decode_pallas(
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
     w0, w1, pm = pl.pallas_call(
-        partial(_fwd_kernel, chunk_t=CHUNK_T, n_chunks=n_chunks),
+        partial(_fwd_kernel, chunk_t=GRID_T, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[
-            spec((CHUNK_T, b_pad), lambda i: (i, 0)),
-            spec((CHUNK_T, b_pad), lambda i: (i, 0)),
-            spec((N_STATES, 2), lambda i: (0, 0)),
-            spec((N_STATES, 2), lambda i: (0, 0)),
+            spec((GRID_T, b_pad), lambda i: (i, 0)),
+            spec((GRID_T, b_pad), lambda i: (i, 0)),
+            spec((32, 8), lambda i: (0, 0)),
         ],
         out_specs=[
-            spec((CHUNK_T, b_pad), lambda i: (i, 0)),
-            spec((CHUNK_T, b_pad), lambda i: (i, 0)),
+            spec((GRID_T, b_pad), lambda i: (i, 0)),
+            spec((GRID_T, b_pad), lambda i: (i, 0)),
             spec((N_STATES, b_pad), lambda i: (0, 0)),
         ],
         out_shape=[
@@ -186,17 +227,18 @@ def viterbi_decode_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((N_STATES, b_pad), jnp.float32)],
         interpret=interpret,
-    )(va, vb, jnp.asarray(sa), jnp.asarray(sb))
+    )(va, vb, jnp.asarray(_halfplane_tables()))
 
+    # the write-side interleave keeps pm in standard state order
     end_state = jnp.argmin(pm, axis=0).astype(jnp.int32)[None, :]  # (1, B')
 
     words = pl.pallas_call(
-        partial(_tb_kernel, chunk_t=CHUNK_T, n_chunks=n_chunks),
+        partial(_tb_kernel, chunk_t=GRID_T, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[
             spec((1, b_pad), lambda i: (0, 0)),
-            spec((CHUNK_T, b_pad), lambda i: (n_chunks - 1 - i, 0)),
-            spec((CHUNK_T, b_pad), lambda i: (n_chunks - 1 - i, 0)),
+            spec((GRID_T, b_pad), lambda i: (n_chunks - 1 - i, 0)),
+            spec((GRID_T, b_pad), lambda i: (n_chunks - 1 - i, 0)),
         ],
         # the (n_chunks, B) word table stays resident; rows are written by
         # dynamic index (a (1, B) block would violate the 8-sublane rule)
@@ -208,9 +250,9 @@ def viterbi_decode_pallas(
 
     # unpack words (n_chunks, B') → bits (B, T)
     w = jnp.transpose(words[:, :B])  # (B, n_chunks)
-    shifts = jnp.arange(CHUNK_T, dtype=jnp.uint32)
+    shifts = jnp.arange(GRID_T, dtype=jnp.uint32)
     bits = ((w[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.uint8)
-    bits = bits.reshape(B, n_chunks * CHUNK_T)[:, :t_steps]
+    bits = bits.reshape(B, n_chunks * GRID_T)[:, :t_steps]
     bits = bits.reshape(*batch_shape, t_steps)
     if n_out is not None:
         bits = bits[..., :n_out]
