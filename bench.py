@@ -37,7 +37,7 @@ DYN_MAX_PAYLOAD = 96  # SIG-driven secondary measurement's length envelope
 # Both workers run CONCURRENTLY (accel result preferred): total bench wall
 # time is bounded by max(deadlines) + parent overhead, not the sum. The
 # accel budget covers the axon tunnel's one-time ~60s device→host warm-up.
-ACCEL_DEADLINE_S = 400
+ACCEL_DEADLINE_S = 460
 CPU_DEADLINE_S = 150
 RESULT_TAG = "BENCH_RESULT:"
 
@@ -89,6 +89,137 @@ def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
     ) + cfg.fft_len
     cap = np.concatenate([cap, np.zeros(halo, np.complex64)])
     return cap, n_frames
+
+
+def bench_radar_jrc(dev, n_iter=20):
+    """Radar dwell rate and JRC closed-loop rate on the device (reference
+    operating point: 25 Hz, TRX grc update_period=0.04)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.models import jrc_trx, radar_chain
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+
+    cfg = OFDMConfig()
+    targets = channel.Targets(
+        ranges=(12.0,), velocities=(5.0,), azimuths=(25.0,), rcs=(10.0,))
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=80, packet_type=PacketType.DATA)
+    payload = jax.device_put(
+        jnp.asarray(make_payload(spec, bytes([2]) + b"bench jrc")), dev)
+    key = jax.random.key(0)
+
+    def dwell(k):
+        r = radar_chain.radar_frame(cfg, spec, payload, targets, key=k)
+        return jnp.stack([
+            r.estimate.detected.astype(jnp.float32), r.estimate.range_m
+        ]).reshape(1, 2)
+
+    fd = jax.jit(dwell)
+    t0 = time.time()
+    d0 = np.asarray(fd(key))
+    _log(f"radar dwell compile {time.time() - t0:.1f}s "
+         f"detected={d0[0, 0]:.0f} range={d0[0, 1]:.1f}")
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = fd(key)
+    np.asarray(out)
+    dwell_s = (time.time() - t0) / n_iter
+
+    def loop_step(state, k):
+        r = jrc_trx.jrc_step(cfg, state, spec, payload, targets, key=k,
+                             comm_noise_var=1e-4)
+        return r.state, jnp.stack([
+            r.radar_est.detected.astype(jnp.float32),
+            r.comm.decoded.crc_ok.astype(jnp.float32),
+        ]).reshape(1, 2)
+
+    fj = jax.jit(loop_step)
+    state = jrc_trx.init_state(cfg)
+    t0 = time.time()
+    state, j0 = fj(state, key)
+    j0 = np.asarray(j0)
+    _log(f"jrc loop compile {time.time() - t0:.1f}s "
+         f"detected={j0[0, 0]:.0f} crc={j0[0, 1]:.0f}")
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, out = fj(state, key)
+    jlast = np.asarray(out)  # the sync that closes the timing loop
+    loop_s = (time.time() - t0) / n_iter
+    return {
+        "radar_dwell_hz": round(1.0 / dwell_s, 1),
+        "jrc_loop_hz": round(1.0 / loop_s, 1),
+        "radar_detected": bool(d0[0, 0] > 0),
+        # steady-state link: dwell 1 runs on the Fourier fallback before the
+        # radar-aided loop closes (same contract as tests/test_jrc.py)
+        "jrc_crc_ok": bool(jlast[0, 1] > 0),
+    }
+
+
+def bench_sustained(dev, cap, n_frames, cfg, spec, block_len, n_blocks,
+                    max_frames):
+    """Ingest-inclusive sustained throughput: IQ ring → float32 split →
+    h2d → flat RX kernel, double-buffered (ingest of superblock k+1 overlaps
+    compute of superblock k). On this rig the axon-tunnel h2d (~30 MB/s) is
+    the ceiling — reported alongside so the kernel-vs-system gap is
+    attributable; on a real TPU host PCIe h2d (≥10 GB/s) sustains >1 Gsps
+    of (re, im) traffic and the pipeline is compute-bound."""
+    import jax
+    import numpy as np
+
+    from jrc_tpu.io.stream import BlockStreamer
+    from jrc_tpu.ops import cplx as cx
+
+    n_samples = block_len * n_blocks
+    streamer = BlockStreamer(
+        cfg, spec, block_len=block_len, n_blocks=n_blocks,
+        max_frames=max_frames, device=dev, pipeline_depth=2,
+        ring_capacity=4 * n_samples,
+    )
+    # warm pass: compile + first h2d
+    streamer.push(cap)
+    t0 = time.time()
+    for _ in streamer.process_available():
+        pass
+    _log(f"sustained warm pass {time.time() - t0:.1f}s")
+
+    # isolated h2d rate of one superblock (the pipeline's transfer leg)
+    pair = cx.CArray(
+        np.ascontiguousarray(cap.real[:n_samples]).astype(np.float32),
+        np.ascontiguousarray(cap.imag[:n_samples]).astype(np.float32),
+    )
+    jax.block_until_ready(jax.device_put(pair, dev))
+    t0 = time.time()
+    jax.block_until_ready(jax.device_put(pair, dev))
+    t_h2d = time.time() - t0
+
+    # timed: two superblocks through the full pipeline, pushes included
+    crc_before = streamer.stats.crc_ok
+    t0 = time.time()
+    streamer.push(cap[:n_samples])
+    streamer.push(cap[:n_samples])
+    n_res = 0
+    for _ in streamer.process_available():
+        n_res += 1
+    wall = time.time() - t0
+    crc = streamer.stats.crc_ok - crc_before
+    mb = n_samples * 8 / 1e6
+    return {
+        "sustained_sps": round(2 * n_samples / wall, 1),
+        "sustained_crc_ok": int(crc),
+        "sustained_frames_expected": 2 * n_frames,
+        # the ring's trailing halo keeps the final straddling frame pending
+        # until more samples arrive (exactly-once streaming ownership), so
+        # up to one boundary frame is legitimately still queued
+        "sustained_ok": int(crc) >= 2 * n_frames - 1,
+        "h2d_MBps": round(mb / t_h2d, 1),
+        "sustained_note": (
+            "axon-tunnel h2d is the ceiling on this rig; "
+            "pipeline is transfer-bound, kernel-side idle"
+        ),
+    }
 
 
 def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames,
@@ -196,13 +327,24 @@ def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames
     np.asarray(out)
     dyn_dt = (time.time() - t0) / n_dyn_iter
     _log(f"dynamic timing {dyn_dt * 1e3:.1f} ms/iter")
-    yield {
+    cur = {
         **verified,
         "dynamic_sps": n_samples / dyn_dt,
         "dynamic_crc_ok": int(dyn0[0, 1]),
         "dynamic_correct": int(dyn0[0, 0]) == n_frames
         and int(dyn0[0, 1]) == n_frames,
     }
+    yield dict(cur)
+
+    # closed-loop rates (radar dwell + full JRC step) — each yield upgrades
+    # the running result so a deadline kill keeps everything before it
+    cur = {**cur, **bench_radar_jrc(dev)}
+    yield dict(cur)
+
+    # ingest-inclusive sustained streaming (ring → h2d → compute overlapped)
+    cur = {**cur, **bench_sustained(
+        dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames)}
+    yield dict(cur)
 
 
 def worker(kind: str) -> int:
@@ -224,7 +366,7 @@ def worker(kind: str) -> int:
         return 1
 
     block_len = 1 << 15
-    n_blocks = 64 if kind == "accel" else 8
+    n_blocks = 256 if kind == "accel" else 8
     n_samples = block_len * n_blocks
     cfg = OFDMConfig()
     spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
@@ -343,6 +485,12 @@ def main() -> int:
             out["dynamic_sps"] = round(result["dynamic_sps"], 1)
             out["dynamic_crc_ok"] = result["dynamic_crc_ok"]
             out["dynamic_correct"] = result["dynamic_correct"]
+        for k in ("radar_dwell_hz", "jrc_loop_hz", "radar_detected",
+                  "jrc_crc_ok", "sustained_sps", "sustained_crc_ok",
+                  "sustained_frames_expected", "sustained_ok", "h2d_MBps",
+                  "sustained_note"):
+            if k in result:
+                out[k] = result[k]
     elif cpu and cpu.get("verified"):
         # accel verification d2h didn't finish — same compiled program,
         # independently verified end-to-end on the CPU backend

@@ -1,23 +1,31 @@
-"""Host streaming driver: native IQ ring → jitted block RX.
+"""Host streaming driver: native IQ ring → jitted block RX, double-buffered.
 
 The control loop that replaces the GNU Radio scheduler for continuous
 operation on one host: a producer thread pushes IQ into the native SPSC ring
-(jrc_tpu/runtime); the consumer loop pops overlapped blocks
-``[left_hist | block | halo]`` and feeds them to the compiled RX kernel.
+(jrc_tpu/runtime); the consumer loop pops overlapped superblocks
+``[left_hist | n_blocks·block_len | halo]``, stages them on the accelerator
+as float32 (re, im) pairs, and feeds them to the compiled flat-stream RX
+kernel. Staging and dispatch are ASYNCHRONOUS — while block k computes on
+the device, block k+1's host→device transfer is already in flight
+(``pipeline_depth`` results are kept pending before the first readback), so
+sustained throughput is max(transfer, compute), not their sum.
+
 Congestion drops whole ring pushes (bounded loss) instead of blocking the
 producer — the behavior the reference hacks into matrix_transpose
 (lib/matrix_transpose_impl.cc:86-89).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from collections import deque
+from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Iterator
+from typing import Iterator
 
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import streaming as block_rx
+from jrc_tpu.ops import cplx as cx, sync
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.runtime import IQRing
 
@@ -31,7 +39,7 @@ class StreamStats:
 
 
 class BlockStreamer:
-    """Pop-and-process loop over a ring with a compiled RX kernel."""
+    """Pop-stage-dispatch pipeline over a ring with a compiled RX kernel."""
 
     def __init__(
         self,
@@ -39,62 +47,116 @@ class BlockStreamer:
         spec: FrameSpec | None,
         *,
         block_len: int = 1 << 17,
+        n_blocks: int = 1,
         max_frames: int = 64,
         max_payload: int = 256,
         ring_capacity: int | None = None,
         jit: bool = True,
+        device=None,
+        pipeline_depth: int = 2,
     ):
         """``spec=None`` selects the SIG-driven dynamic kernel: each frame's
         MCS/length/type is discovered from its SIG field (mixed traffic),
         bounded by ``max_payload``. A concrete ``spec`` compiles the faster
-        static-geometry kernel."""
+        static-geometry kernel.
+
+        One kernel dispatch covers ``n_blocks`` ownership blocks of
+        ``block_len`` samples (the flat-stream executor) — large superblocks
+        amortize per-dispatch latency; per-block ``max_frames`` slots.
+        ``device`` stages superblocks there as float32 (re, im) pairs
+        (complex64 h2d is unimplemented on some TPU runtimes);
+        ``pipeline_depth`` dispatches stay in flight before the first
+        result readback, overlapping ingest with compute.
+        """
         import jax
 
+        assert block_len % sync.SEG == 0, block_len
         self.cfg = cfg
         self.spec = spec
         self.block_len = block_len
+        self.n_blocks = n_blocks
+        self.span = block_len * n_blocks
         if spec is None:
             self.halo = (
                 block_rx.frame_window_samples_dynamic(cfg, max_payload)
                 + cfg.fft_len
             )
             fn = partial(
-                block_rx.rx_block_dynamic, cfg,
-                block_len=block_len, own_lo=block_rx.left_history_samples(cfg),
+                block_rx.flat_rx_dynamic, cfg,
+                block_len=block_len, n_blocks=n_blocks,
+                own_lo=block_rx.left_history_samples(cfg),
                 max_frames=max_frames, max_payload=max_payload,
             )
         else:
             self.halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
             fn = partial(
-                block_rx.rx_block, cfg, spec,
-                block_len=block_len, own_lo=block_rx.left_history_samples(cfg),
+                block_rx.flat_rx, cfg, spec,
+                block_len=block_len, n_blocks=n_blocks,
+                own_lo=block_rx.left_history_samples(cfg),
                 max_frames=max_frames,
             )
         self.left_hist = block_rx.left_history_samples(cfg)
-        self.ring = IQRing(ring_capacity or 4 * block_len)
+        self.ring = IQRing(ring_capacity or 4 * self.span)
         self._rx = jax.jit(fn) if jit else fn
+        self._counts = jax.jit(
+            lambda valid, crc: jax.numpy.stack([
+                jax.numpy.sum(valid.astype(jax.numpy.float32)),
+                jax.numpy.sum(crc.astype(jax.numpy.float32)),
+            ]).reshape(1, 2)
+        )
+        self._device = device
+        self._depth = max(1, pipeline_depth)
+        self._pending: deque = deque()
         self.stats = StreamStats()
 
     def push(self, samples: np.ndarray) -> int:
         return self.ring.push(samples)
 
+    def _stage(self, blk: np.ndarray):
+        """complex64 host block → device-resident float32 (re, im) pair.
+
+        ``jax.device_put`` is asynchronous: the transfer of this superblock
+        overlaps the previous superblock's device compute.
+        """
+        import jax
+
+        x = cx.CArray(
+            np.ascontiguousarray(blk.real).astype(np.float32),
+            np.ascontiguousarray(blk.imag).astype(np.float32),
+        )
+        return jax.device_put(x, self._device) if self._device is not None else x
+
+    def _finalize(self, res):
+        # one tiny (1, 2) float32 readback instead of per-slot arrays:
+        # device→host of even KB-sized buffers is pathologically slow on
+        # tunneled runtimes, and this sync closes the pipeline stage anyway
+        counts = np.asarray(self._counts(res.valid, res.crc_ok))
+        self.stats.blocks += self.n_blocks
+        self.stats.frames += int(counts[0, 0])
+        self.stats.crc_ok += int(counts[0, 1])
+        self.stats.dropped_samples = self.ring.dropped()
+        return res
+
     def process_available(self) -> Iterator[block_rx.BlockRxResult]:
-        """Process every complete block currently buffered."""
+        """Process every complete superblock currently buffered.
+
+        Yields finalized results one pipeline-depth behind the dispatches, so
+        the ingest (ring pop + float32 split + h2d) of the next superblock
+        runs while the device computes the current one.
+        """
         while True:
-            blk = self.ring.pop_block(self.block_len, self.halo, self.left_hist)
+            blk = self.ring.pop_block(self.span, self.halo, self.left_hist)
             if blk is None:
-                return
-            res = self._rx(x=blk)
-            valid = np.asarray(res.valid)
-            self.stats.blocks += 1
-            self.stats.frames += int(valid.sum())
-            self.stats.crc_ok += int(np.asarray(res.crc_ok).sum())
-            self.stats.dropped_samples = self.ring.dropped()
-            yield res
+                break
+            self._pending.append(self._rx(xp=self._stage(blk)))
+            while len(self._pending) >= self._depth:
+                yield self._finalize(self._pending.popleft())
+        while self._pending:
+            yield self._finalize(self._pending.popleft())
 
     def flush(self) -> Iterator[block_rx.BlockRxResult]:
         """Zero-pad the tail so trailing partial data forms a final block."""
-        missing = self.block_len + self.halo - self.ring.available()
-        if 0 < missing <= self.block_len + self.halo:
+        missing = self.span + self.halo - self.ring.available()
+        if 0 < missing <= self.span + self.halo:
             self.ring.push(np.zeros(missing, np.complex64))
         yield from self.process_available()
