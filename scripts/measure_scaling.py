@@ -1,17 +1,36 @@
 """Scaling measurement for the time-block sharded streaming RX
-(VERDICT r2 item 4 → SCALING_r03.json).
+(VERDICT r3 item 2 → SCALING_r04.json).
 
 Weak scaling on the virtual CPU mesh: one 32k-sample block per device, so
 ideal scaling keeps step time constant as devices are added. Each mesh size
 runs in its own subprocess (the CPU device count is fixed at backend init).
 
-Caveat (recorded in the output): this host has 2 physical cores, so
-wall-clock weak scaling beyond 2 virtual devices measures scheduler
-time-sharing, not hardware scaling. The collective-overhead column is the
-honest proxy: it compares the sharded step against the same per-device work
-run unsharded (no ppermute/psum), isolating what the mesh costs — on real
-multi-chip hardware that overhead rides ICI and is the quantity that
-determines scaling efficiency.
+## Method (what each number means)
+
+This host has 2 physical cores, so WALL-clock time beyond 2 virtual devices
+measures scheduler time-sharing, not hardware scaling — wall columns are
+reported for transparency but are not the headline.
+
+The headline is derived from per-device WORK time, which time-sharing cannot
+distort because CPU time is additive across time-shared threads:
+
+* ``cpu_single_ms`` — process CPU time of the IDENTICAL per-device program
+  (flat_rx over one ``[left-hist | block | halo]`` window, i.e. exactly the
+  shard_map body minus ppermute/psum) run standalone on one device.
+* ``cpu_sharded_ms`` — process CPU time of the full N-device sharded step.
+* ``cpu_per_device_ms = cpu_sharded_ms / N`` — the work one device performs
+  inside the mesh, including its share of halo exchange and psum.
+* ``work_efficiency = cpu_single_ms / cpu_per_device_ms`` — weak-scaling
+  efficiency net of time-sharing (1.0 = the mesh adds no per-device work).
+* ``collective_halo_share = 1 − N·cpu_single_ms / cpu_sharded_ms`` — the
+  fraction of sharded CPU time spent on collectives/halo machinery rather
+  than per-device decode work (can be slightly negative from measurement
+  noise / better fusion inside shard_map).
+
+Caveat: XLA:CPU worker threads spin-wait at collective barriers, so waiting
+time is COUNTED as work here — collective_halo_share and therefore
+1 − work_efficiency are upper bounds on the true mesh cost; on real
+multi-chip hardware the exchange rides ICI while the core computes.
 
 Usage: python scripts/measure_scaling.py            # driver, writes JSON
        python scripts/measure_scaling.py --one N    # single mesh size
@@ -27,7 +46,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BLOCK_LEN = 1 << 15
-N_ITER = 8
+N_ITER = 16
 
 
 def run_one(n_dev: int) -> int:
@@ -70,15 +89,18 @@ def run_one(n_dev: int) -> int:
     res = pstream.sharded_rx(cfg, spec, mesh, x, max_frames_per_block=6)
     assert int(np.asarray(res.n_frames)) == 3 * n_dev, int(np.asarray(res.n_frames))
     assert int(np.asarray(res.n_crc_ok)) == 3 * n_dev
-    t0, c0 = time.time(), time.process_time()
-    for _ in range(N_ITER):
-        res = pstream.sharded_rx(cfg, spec, mesh, x, max_frames_per_block=6)
-    jax.block_until_ready(res.n_frames)
-    t_sharded = (time.time() - t0) / N_ITER
-    cpu_sharded = (time.process_time() - c0) / N_ITER
+    t_sharded = cpu_sharded = float("inf")
+    for _ in range(3):  # best-of-3 batches: 2-core host noise is ±15%
+        t0, c0 = time.time(), time.process_time()
+        for _ in range(N_ITER):
+            res = pstream.sharded_rx(cfg, spec, mesh, x, max_frames_per_block=6)
+        jax.block_until_ready(res.n_frames)
+        t_sharded = min(t_sharded, (time.time() - t0) / N_ITER)
+        cpu_sharded = min(cpu_sharded, (time.process_time() - c0) / N_ITER)
 
-    # unsharded baseline: identical per-device work, no collectives, run on
-    # ONE device (per-device cost without the mesh)
+    # matched unsharded baseline: the IDENTICAL per-device program — the
+    # shard_map body's flat_rx over one [left-hist | block | halo] window —
+    # without ppermute/psum, on ONE device
     halo = streaming.frame_window_samples(cfg, spec) + cfg.fft_len
     lh = streaming.left_history_samples(cfg)
     blk = np.concatenate(
@@ -86,23 +108,27 @@ def run_one(n_dev: int) -> int:
          np.zeros(halo, np.complex64)]
     )
     fn = jax.jit(
-        lambda v: streaming.rx_block(
-            cfg, spec, v, BLOCK_LEN, own_lo=lh, max_frames=6
+        lambda v: streaming.flat_rx(
+            cfg, spec, v, BLOCK_LEN, 1, lh, max_frames=6,
         ).crc_ok.sum()
     )
     xb = cx.from_complex(jnp.asarray(blk))
-    jax.block_until_ready(fn(xb))
-    t0 = time.time()
-    for _ in range(N_ITER):
-        out = fn(xb)
-    jax.block_until_ready(out)
-    t_single = (time.time() - t0) / N_ITER
+    assert int(np.asarray(fn(xb))) == 3
+    t_single = cpu_single = float("inf")
+    for _ in range(3):
+        t0, c0 = time.time(), time.process_time()
+        for _ in range(N_ITER):
+            out = fn(xb)
+        jax.block_until_ready(out)
+        t_single = min(t_single, (time.time() - t0) / N_ITER)
+        cpu_single = min(cpu_single, (time.process_time() - c0) / N_ITER)
 
     print(json.dumps({
         "n_devices": n_dev,
         "t_sharded_ms": round(t_sharded * 1e3, 2),
         "cpu_sharded_ms": round(cpu_sharded * 1e3, 2),
         "t_single_block_ms": round(t_single * 1e3, 2),
+        "cpu_single_ms": round(cpu_single * 1e3, 2),
         "samples_per_s": round(n_dev * BLOCK_LEN / t_sharded, 1),
         "frames": 3 * n_dev,
     }))
@@ -127,33 +153,36 @@ def main() -> int:
 
     base = rows[0]
     for r in rows:
-        # weak scaling: ideal keeps step time constant vs the 1-device run
-        r["weak_scaling_eff"] = round(base["t_sharded_ms"] / r["t_sharded_ms"], 3)
-        # collective/mesh overhead vs the same work unsharded on one device
-        r["mesh_overhead"] = round(
-            r["t_sharded_ms"] / max(r["t_single_block_ms"], 1e-9) - 1.0, 3
+        n = r["n_devices"]
+        r["cpu_per_device_ms"] = round(r["cpu_sharded_ms"] / n, 2)
+        r["work_efficiency"] = round(
+            r["cpu_single_ms"] / max(r["cpu_per_device_ms"], 1e-9), 3
         )
-        # hardware-independent proxy: total CPU work must scale ~linearly
-        # with device count (no redundant work from halos/collectives);
-        # 1.0 = the n-device program does exactly n times the 1-device work
-        r["work_scaling_eff"] = round(
-            base["cpu_sharded_ms"] * r["n_devices"] / max(r["cpu_sharded_ms"], 1e-9),
-            3,
+        r["collective_halo_share"] = round(
+            1.0 - n * r["cpu_single_ms"] / max(r["cpu_sharded_ms"], 1e-9), 3
+        )
+        # wall columns kept for transparency (time-shared beyond 2 cores)
+        r["weak_scaling_wall"] = round(
+            base["t_sharded_ms"] / r["t_sharded_ms"], 3
         )
     out = {
         "metric": "sharded_rx_weak_scaling",
         "block_len": BLOCK_LEN,
         "physical_cores": os.cpu_count(),
-        "note": (
-            "virtual CPU mesh on a {}-core host: wall-clock scaling beyond "
-            "the core count measures time-sharing; mesh_overhead (sharded vs "
-            "identical unsharded per-device work) is the hardware-independent "
-            "proxy for multi-chip scaling efficiency".format(os.cpu_count())
+        "method": (
+            "headline work_efficiency = cpu_single / (cpu_sharded / N): "
+            "process-CPU-time of the identical per-device flat_rx program "
+            "standalone vs inside the N-device shard_map step — additive "
+            "across time-shared threads, so oversubscription of the "
+            "{}-core host cannot distort it; spin-waits at collective "
+            "barriers count as work, making the reported mesh cost an "
+            "upper bound. Wall-clock columns included for transparency "
+            "only.".format(os.cpu_count())
         ),
         "points": rows,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "SCALING_r03.json")
+                        "SCALING_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
