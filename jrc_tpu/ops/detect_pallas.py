@@ -143,6 +143,7 @@ def detect_front_end(
     lag: int,
     win: int,
     pwin: int,
+    interpret: bool = False,
 ):
     """Fused detection front-end over a flat stream (n,) pair.
 
@@ -188,6 +189,7 @@ def detect_front_end(
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((rows_pad, 1), jnp.int32),
         ],
+        interpret=interpret,
     )(xr, xi)
     return (
         are.reshape(-1), aim.reshape(-1), first[:, 0], count[:, 0]

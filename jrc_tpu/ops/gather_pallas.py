@@ -58,17 +58,21 @@ def _gather_kernel(starts_ref, x_ref, out_ref, scratch, sems, *, group: int,
         out_ref[g] = rolled[:, :w_out]
 
 
-def gather_rows(x: cx.CArray, starts: jax.Array, width: int) -> cx.CArray:
+def gather_rows(
+    x: cx.CArray, starts: jax.Array, width: int, interpret: bool = False
+) -> cx.CArray:
     """(2-channel) row gather: out[b] = x[starts[b] : starts[b] + width].
 
     ``starts`` are clamped to [0, N − width] (dynamic-slice semantics).
-    Uses the DMA kernel on TPU; falls back to vmapped dynamic slices on CPU.
+    Uses the DMA kernel on TPU (``interpret=True`` forces the kernel through
+    the Pallas interpreter for CPU-side validation); falls back to vmapped
+    dynamic slices on CPU.
     """
     n = x.shape[-1]
     b = starts.shape[0]
     starts = jnp.clip(starts.astype(jnp.int32), 0, n - width)
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not interpret:
         return jax.vmap(
             lambda s: cx.dynamic_slice_in_dim(x, s, width, axis=-1)
         )(starts)
@@ -95,5 +99,6 @@ def gather_rows(x: cx.CArray, starts: jax.Array, width: int) -> cx.CArray:
         partial(_gather_kernel, group=GROUP, w_fetch=w_fetch, w_out=w_out),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, 2, w_out), jnp.float32),
+        interpret=interpret,
     )(starts_p, xs)
     return cx.CArray(out[:b, 0, :width], out[:b, 1, :width])
