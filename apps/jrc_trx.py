@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Full JRC transceiver session — mirrors examples/usrp/mimo_ofdm_jrc_TRX.grc
-with the simulated backend: radar-assisted precoded DATA frames + periodic
-NDP sounding, simultaneous target tracking and link statistics.
+with the simulated backend, driven through the TRX I/O boundary at the
+reference cadence: frames are produced continuously, but a TX+RX radar
+burst opens at most once per ``update_period`` (25 Hz at the reference's
+0.04 s) — frames in between go out TX-only, exactly the usrp_mimo_trx work
+loop (lib/usrp_mimo_trx_impl.cc:287-388). The RX capture is re-aligned by
+``num_delay_samps`` and a missed RX deadline skips the dwell (…:374-383,
+:488-494). The comm leg models the remote communication receiver
+(mimo_ofdm_comm_RX.grc) hearing every transmitted frame.
 
-    python apps/jrc_trx.py --dwells 10 --target 12:0:25:10 --radar-aided
+    python apps/jrc_trx.py --frames 32 --target 12:0:25:10 --radar-aided
 """
 from __future__ import annotations
 
@@ -16,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dwells", type=int, default=8)
+    p.add_argument("--frames", type=int, default=32,
+                   help="total frames transmitted (bursts open at 1/update-period)")
     p.add_argument("--target", default="12:0:25:10",
                    help="range:velocity:azimuth:rcs")
     p.add_argument("--mcs", default="QPSK_3_4")
@@ -26,8 +33,15 @@ def main(argv=None):
     p.add_argument("--phased", action="store_true", default=True)
     p.add_argument("--svd", dest="phased", action="store_false")
     p.add_argument("--radar-streams", action="store_true")
-    p.add_argument("--ndp-every", type=int, default=4)
+    p.add_argument("--ndp-every", type=int, default=8,
+                   help="every Nth frame is an NDP sounding frame (0 = never)")
     p.add_argument("--comm-noise-var", type=float, default=1e-4)
+    p.add_argument("--update-period", type=float, default=0.04,
+                   help="dwell burst period in seconds (reference: 0.04)")
+    p.add_argument("--frame-interval", type=float, default=0.01,
+                   help="seconds between produced frames (reference: UDP-paced)")
+    p.add_argument("--num-delay-samps", type=int, default=24,
+                   help="TX->RX latency compensation (usrp_mimo_trx contract)")
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--comm-log", default="comm_log.csv")
     p.add_argument("--heatmap", default="jrc_range_angle.png")
@@ -42,8 +56,9 @@ def main(argv=None):
     import numpy as np
 
     from jrc_tpu.config import MCS, OFDMConfig, PacketType
-    from jrc_tpu.models import jrc_trx
-    from jrc_tpu.ops import channel
+    from jrc_tpu.io.backend import SimTrx, TrxSession
+    from jrc_tpu.models import comm_link, jrc_trx
+    from jrc_tpu.ops import channel, cplx as cx
     from jrc_tpu.ops.encoder import FrameSpec, make_payload
     from jrc_tpu.utils.logging import CommLog, RadarLog
     from jrc_tpu.viz.heatmap import render_heatmap
@@ -57,45 +72,84 @@ def main(argv=None):
     data_payload = jnp.asarray(make_payload(data_spec, bytes([2]) + b"jrc data"))
     ndp_payload = jnp.asarray(make_payload(ndp_spec, bytes([1])))
 
+    # the I/O boundary: simulated radio + the reference's work-loop cadence
+    session = TrxSession(
+        SimTrx(cfg, targets, hw_delay_samps=args.num_delay_samps),
+        update_period=args.update_period,
+        num_delay_samps=args.num_delay_samps,
+    )
+    pad_front = 5 * cfg.sym_len
+
     state = jrc_trx.init_state(cfg)
     rlog, clog = RadarLog(args.radar_log), CommLog(args.comm_log)
     last_map = None
     n_ok = 0
     n_data = 0
-    for d in range(args.dwells):
+    now = 0.0
+    for d in range(args.frames):
         is_ndp = args.ndp_every > 0 and d % args.ndp_every == args.ndp_every - 1
         spec = ndp_spec if is_ndp else data_spec
         pl = ndp_payload if is_ndp else data_payload
-        res = jrc_trx.jrc_step(
-            cfg, state, spec, pl, targets, key=jax.random.PRNGKey(d),
+        k_tx, k_comm = jax.random.split(jax.random.PRNGKey(d))
+
+        # TX side: steer from the current feedback state, build the frame
+        tx = jrc_trx.jrc_tx(
+            cfg, state, spec, pl, key=k_tx,
             radar_aided=args.radar_aided, phased_steering=args.phased,
-            use_radar_streams=args.radar_streams,
-            comm_noise_var=args.comm_noise_var,
+            use_radar_streams=args.radar_streams, pad_front=pad_front,
         )
-        state = res.state
-        est = res.radar_est
-        det = bool(np.asarray(est.detected))
-        crc = bool(np.asarray(res.comm.decoded.crc_ok))
+
+        # radar leg through the TRX boundary: burst at most every
+        # update_period, TX-only otherwise
+        burst = session.frame(np.asarray(tx.samples), now)
+        now += args.frame_interval
+        det = False
+        est = None
+        if burst is not None:
+            rx = cx.from_complex(jnp.asarray(burst.rx))[..., pad_front:]
+            est, ra_map, background = jrc_trx.jrc_radar_rx(cfg, state, tx.grid, rx)
+            state = jrc_trx.radar_state_update(state, est, background)
+            last_map = ra_map
+            det = bool(np.asarray(est.detected))
+            if det:
+                rlog.log_detection(float(est.power), float(est.snr_db),
+                                   float(est.range_m), float(est.angle_deg))
+
+        # comm leg: the remote comm RX hears every frame over the air
+        rx_wave = channel.comm_channel(
+            tx.samples, angle_deg=az, path_loss=20.0, noise_var=0.0)
+        rx_wave = channel.awgn(k_comm, rx_wave, args.comm_noise_var)
+        rx_wave = cx.concatenate(
+            [rx_wave, cx.zeros(2 * cfg.n_sync_words * cfg.sym_len)], axis=-1)
+        comm = comm_link.rx_chain(cfg, spec, rx_wave)
+        crc = bool(np.asarray(comm.decoded.crc_ok))
+        if is_ndp and bool(np.asarray(comm.eq.sig_ok)):
+            # NDP sounding feedback (chan_est.csv -> precoder in the reference)
+            state = state._replace(
+                chan_est=comm.eq.chan_est_full, chan_valid=jnp.bool_(True))
         if not is_ndp:
             n_data += 1
             n_ok += crc
-        if det:
-            rlog.log_detection(float(est.power), float(est.snr_db),
-                               float(est.range_m), float(est.angle_deg))
         clog.log_frame(crc, int(spec.packet_type),
-                       float(np.asarray(res.comm.eq.snr_legacy)),
-                       float(np.asarray(res.comm.eq.snr_data)),
+                       float(np.asarray(comm.eq.snr_legacy)),
+                       float(np.asarray(comm.eq.snr_data)),
                        100.0 * (1 - n_ok / max(n_data, 1)))
         kind = "NDP " if is_ndp else "DATA"
-        print(f"dwell {d} [{kind}]: crc={crc} radar det={det} "
-              f"range={float(est.range_m):.2f} angle={float(est.angle_deg):.1f} "
-              f"steer_angle={float(np.asarray(state.radar_angle)):.1f}")
-        last_map = res.ra_map
+        leg = "BURST" if burst is not None else "tx-only"
+        msg = f"frame {d} [{kind}] {leg}: crc={crc}"
+        if est is not None:
+            msg += (f" radar det={det} range={float(est.range_m):.2f} "
+                    f"angle={float(est.angle_deg):.1f}")
+        msg += f" steer_angle={float(np.asarray(state.radar_angle)):.1f}"
+        print(msg)
     if last_map is not None and args.heatmap:
         rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
         power = np.asarray(jax.jit(lambda m: jnp.abs(m) ** 2)(last_map))
         render_heatmap(power, rb, cfg.angle_axis(16), path=args.heatmap)
-    print(f"PER: {100.0 * (1 - n_ok / max(n_data, 1)):.1f}% over {n_data} DATA frames")
+    print(f"bursts={session.n_bursts} tx_only={session.n_tx_only} "
+          f"missed={session.n_missed}; "
+          f"PER: {100.0 * (1 - n_ok / max(n_data, 1)):.1f}% "
+          f"over {n_data} DATA frames")
     return 0
 
 

@@ -36,18 +36,79 @@ class TrxBackend(abc.ABC):
     lib/usrp_mimo_trx_impl.cc:287-388)."""
 
     @abc.abstractmethod
-    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
-        ...
+    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult | None:
+        """TX + scheduled RX; ``None`` models an RX deadline miss
+        (lib/usrp_mimo_trx_impl.cc:488-494 — the frame is skipped)."""
+
+    def transmit(self, tx_samples: np.ndarray) -> None:
+        """TX-only frame (no RX capture) — what the reference sends between
+        ``update_period`` bursts (lib/usrp_mimo_trx_impl.cc:357-369)."""
 
     def close(self):
         pass
 
 
+class TrxSession:
+    """The reference work-loop cadence around any :class:`TrxBackend`
+    (lib/usrp_mimo_trx_impl.cc:287-388):
+
+    * a TX+RX **burst** runs at most once per ``update_period`` (25 Hz at
+      the TRX flowgraph's 0.04 s); frames arriving in between are
+      transmitted **TX-only** with no RX capture (…:357-369);
+    * burst RX is re-aligned to the TX frame start by dropping
+      ``num_delay_samps`` leading samples — the calibrated TX→RX hardware
+      latency (…:374-383);
+    * a backend ``None`` (RX deadline miss) skips the frame: the caller
+      gets no capture and the loop simply continues (…:488-494).
+    """
+
+    def __init__(
+        self,
+        backend: TrxBackend,
+        *,
+        update_period: float = 0.04,
+        num_delay_samps: int = 0,
+    ):
+        self.backend = backend
+        self.update_period = update_period
+        self.num_delay_samps = num_delay_samps
+        self._prev_tx_time = -float("inf")
+        self.n_bursts = 0
+        self.n_tx_only = 0
+        self.n_missed = 0
+
+    def frame(self, tx_samples: np.ndarray, now: float,
+              n_rx_samples: int | None = None) -> BurstResult | None:
+        """Send one frame at wall/stream time ``now``; returns the aligned
+        RX capture when this frame opened a dwell burst, else None."""
+        if now < self._prev_tx_time + self.update_period:
+            self.backend.transmit(tx_samples)
+            self.n_tx_only += 1
+            return None
+        self._prev_tx_time = now
+        d = self.num_delay_samps
+        n_want = n_rx_samples if n_rx_samples is not None else tx_samples.shape[-1]
+        res = self.backend.burst(tx_samples, n_want + d)
+        if res is None:
+            self.n_missed += 1
+            return None
+        self.n_bursts += 1
+        return BurstResult(rx=res.rx[..., d : d + n_want], rx_time=res.rx_time)
+
+
 class SimTrx(TrxBackend):
-    """Loopback through the synthetic channel (radar echo and/or comm path)."""
+    """Loopback through the synthetic channel (radar echo and/or comm path).
+
+    ``hw_delay_samps`` models the calibrated TX→RX hardware latency: the RX
+    capture starts that many samples before the echo arrives (zeros in
+    front), exactly what ``TrxSession.num_delay_samps`` must compensate.
+    ``miss_bursts`` is a set of burst ordinals whose RX deadline is missed
+    (burst → None), for deterministic testing of the skip path.
+    """
 
     def __init__(self, cfg, targets=None, *, noise_var: float = 0.0, seed: int = 0,
-                 self_coupling_db: float | None = None):
+                 self_coupling_db: float | None = None,
+                 hw_delay_samps: int = 0, miss_bursts=()):
         import jax
 
         from jrc_tpu.ops import channel
@@ -56,13 +117,22 @@ class SimTrx(TrxBackend):
         self.targets = targets
         self.noise_var = noise_var
         self.self_coupling_db = self_coupling_db
+        self.hw_delay_samps = hw_delay_samps
+        self.miss_bursts = set(miss_bursts)
+        self._burst_idx = 0
         self._key = jax.random.PRNGKey(seed)
         self._channel = channel
         self._t = 0.0
 
-    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
+    def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult | None:
         import jax
         import jax.numpy as jnp
+
+        idx = self._burst_idx
+        self._burst_idx += 1
+        if idx in self.miss_bursts:  # RX deadline miss: frame skipped
+            self._t += tx_samples.shape[-1] / self.cfg.sample_rate
+            return None
 
         ch = self._channel
         cfg = self.cfg
@@ -83,9 +153,22 @@ class SimTrx(TrxBackend):
         t = self._t
         self._t += tx.shape[-1] / cfg.sample_rate
         out = np.asarray(rx)
+        if self.hw_delay_samps:
+            out = np.concatenate(
+                [np.zeros((out.shape[0], self.hw_delay_samps), out.dtype), out],
+                axis=-1,
+            )
         if n_rx_samples is not None:
+            if out.shape[-1] < n_rx_samples:
+                out = np.concatenate(
+                    [out, np.zeros((out.shape[0], n_rx_samples - out.shape[-1]),
+                                   out.dtype)], axis=-1)
             out = out[:, :n_rx_samples]
         return BurstResult(rx=out, rx_time=t)
+
+    def transmit(self, tx_samples: np.ndarray) -> None:
+        """TX-only frame: the scene hears it, no RX capture is scheduled."""
+        self._t += tx_samples.shape[-1] / self.cfg.sample_rate
 
 
 class FileTrx(TrxBackend):
@@ -117,3 +200,10 @@ class FileTrx(TrxBackend):
         t = self._t
         self._t += n / self.cfg.sample_rate
         return BurstResult(rx=rx, rx_time=t)
+
+    def transmit(self, tx_samples: np.ndarray) -> None:
+        """TX-only frames are still recorded (the reference transmits them)."""
+        if self.tx_path is not None:
+            with open(self.tx_path, "ab") as fh:
+                np.asarray(tx_samples, np.complex64).T.tofile(fh)
+        self._t += tx_samples.shape[-1] / self.cfg.sample_rate

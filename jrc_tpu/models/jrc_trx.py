@@ -94,6 +94,100 @@ class JRCStepResult(NamedTuple):
     ra_map: jax.Array
 
 
+def jrc_tx(
+    cfg: OFDMConfig,
+    state: JRCState,
+    spec: encoder.FrameSpec,
+    payload: jax.Array,
+    *,
+    key: jax.Array,
+    radar_aided: bool = True,
+    phased_steering: bool = True,
+    smoothing: bool = False,
+    use_radar_streams: bool = False,
+    scrambler_seed=1,
+    pad_front: int | None = None,
+    pad_tail: int | None = None,
+) -> comm_link.TxFrame:
+    """TX side of one dwell: steer from the feedback state and build the
+    padded multi-antenna frame (the precoder + zero_pad legs of the TRX
+    flowgraph). DATA frames are steered; NDP is never precoded
+    (lib/mimo_precoder_impl.cc:379-428)."""
+    if pad_front is None:
+        pad_front = 5 * cfg.sym_len
+    if pad_tail is None:
+        pad_tail = 3 * cfg.sym_len
+    if spec.packet_type is PacketType.DATA:
+        per_sc, mean_q = select_steering(
+            cfg, state, radar_aided=radar_aided,
+            phased_steering=phased_steering, smoothing=smoothing,
+        )
+    else:
+        per_sc, mean_q = None, None  # NDP is never precoded
+    return comm_link.tx_frame(
+        cfg, spec, payload, scrambler_seed,
+        steering=per_sc, mean_steering=mean_q,
+        use_radar_streams=use_radar_streams and spec.packet_type is PacketType.DATA,
+        rng_key=key,
+        pad_front=pad_front, pad_tail=pad_tail,
+    )
+
+
+def jrc_radar_rx(
+    cfg: OFDMConfig,
+    state: JRCState,
+    tx_grid: jax.Array,  # (n_sym, n_tx, fft_len) frequency-domain reference
+    rx: jax.Array,  # (n_rx, n_samples) echo time-aligned to the frame START
+    *,
+    background_record: bool = True,
+    interp_factor_range: int = 8,
+    interp_factor_angle: int = 16,
+    snr_threshold_db: float = 15.0,
+):
+    """Radar leg of one dwell from an aligned RX burst: demodulate the echo,
+    estimate the per-(tx,rx,sc) channel over the MIMO-LTF symbols, remove
+    background, image, detect (mimo_ofdm_radar → range_angle_estimator).
+
+    ``rx`` must start at the frame's first sample — the ``usrp_mimo_trx``
+    ``num_delay_samps`` contract (lib/usrp_mimo_trx_impl.cc:374-383), which
+    :class:`jrc_tpu.io.backend.TrxSession` enforces (front padding already
+    stripped by the caller). Returns (est, ra_map, background_state).
+    """
+    n_sym_total = tx_grid.shape[0]
+    y = ofdm.ofdm_demodulate(cfg, rx, n_sym_total)
+    x_ref = tx_grid.swapaxes(0, 1)
+    n_pre = cfg.n_sync_words + 1
+    sl = slice(n_pre, n_pre + cfg.n_ltf)
+    h_radar = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
+    h_clean, background = radar.background_removal(
+        state.background, h_radar, record=background_record
+    )
+    ra_map = radar.range_angle_map(h_clean, interp_factor_range, interp_factor_angle)
+    est = radar.range_angle_estimate(
+        ra_map,
+        jnp.asarray(np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate),
+                                cfg.fft_len * interp_factor_range), jnp.float32),
+        jnp.asarray(cfg.angle_axis(interp_factor_angle), jnp.float32),
+        snr_threshold_db=snr_threshold_db,
+    )
+    return est, ra_map, background
+
+
+def radar_state_update(
+    state: JRCState, est: radar.RangeAngleEstimate, background
+) -> JRCState:
+    """Fold a dwell's radar detection into the feedback state (the
+    radar_log.csv append → precoder poll of the reference)."""
+    return state._replace(
+        radar_angle=jnp.where(
+            est.detected, est.angle_deg, state.radar_angle
+        ).astype(jnp.float32),
+        radar_valid=state.radar_valid | est.detected,
+        background=background,
+        frame_count=state.frame_count + 1,
+    )
+
+
 def jrc_step(
     cfg: OFDMConfig,
     state: JRCState,
@@ -129,20 +223,12 @@ def jrc_step(
         comm_angle_deg = targets.azimuths[0]
     k_tx, k_radar, k_comm = jax.random.split(key, 3)
 
-    if spec.packet_type is PacketType.DATA:
-        per_sc, mean_q = select_steering(
-            cfg, state, radar_aided=radar_aided,
-            phased_steering=phased_steering, smoothing=smoothing,
-        )
-    else:
-        per_sc, mean_q = None, None  # NDP is never precoded
-
     pad_front = 5 * cfg.sym_len
-    tx = comm_link.tx_frame(
-        cfg, spec, payload, scrambler_seed,
-        steering=per_sc, mean_steering=mean_q,
-        use_radar_streams=use_radar_streams and spec.packet_type is PacketType.DATA,
-        rng_key=k_tx,
+    tx = jrc_tx(
+        cfg, state, spec, payload, key=k_tx,
+        radar_aided=radar_aided, phased_steering=phased_steering,
+        smoothing=smoothing, use_radar_streams=use_radar_streams,
+        scrambler_seed=scrambler_seed,
         pad_front=pad_front, pad_tail=3 * cfg.sym_len,
     )
 
@@ -157,21 +243,11 @@ def jrc_step(
         echo = channel.awgn(k_radar, echo, radar_noise_var)
     # the TX/RX timing contract (usrp_mimo_trx num_delay_samps) aligns the RX
     # window to the frame start — drop the front padding before demodulation
-    n_sym_total = tx.grid.shape[0]
-    y = ofdm.ofdm_demodulate(cfg, echo[..., pad_front:], n_sym_total)
-    x_ref = tx.grid.swapaxes(0, 1)
-    n_pre = cfg.n_sync_words + 1
-    sl = slice(n_pre, n_pre + cfg.n_ltf)
-    h_radar = radar.radar_channel_estimate(x_ref[:, sl], y[:, sl])
-    h_clean, background = radar.background_removal(
-        state.background, h_radar, record=background_record
-    )
-    ra_map = radar.range_angle_map(h_clean, interp_factor_range, interp_factor_angle)
-    est = radar.range_angle_estimate(
-        ra_map,
-        jnp.asarray(np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate),
-                                cfg.fft_len * interp_factor_range), jnp.float32),
-        jnp.asarray(cfg.angle_axis(interp_factor_angle), jnp.float32),
+    est, ra_map, background = jrc_radar_rx(
+        cfg, state, tx.grid, echo[..., pad_front:],
+        background_record=background_record,
+        interp_factor_range=interp_factor_range,
+        interp_factor_angle=interp_factor_angle,
         snr_threshold_db=snr_threshold_db,
     )
 
