@@ -50,6 +50,8 @@ class BlockStreamer:
         n_blocks: int = 1,
         max_frames: int = 64,
         max_payload: int = 256,
+        estimator: str = "ls",
+        soft: bool = False,
         ring_capacity: int | None = None,
         jit: bool = True,
         device=None,
@@ -86,6 +88,7 @@ class BlockStreamer:
                 block_len=block_len, n_blocks=n_blocks,
                 own_lo=block_rx.left_history_samples(cfg),
                 max_frames=max_frames, max_payload=max_payload,
+                estimator=estimator, soft=soft,
             )
         else:
             self.halo = block_rx.frame_window_samples(cfg, spec) + cfg.fft_len
@@ -93,7 +96,7 @@ class BlockStreamer:
                 block_rx.flat_rx, cfg, spec,
                 block_len=block_len, n_blocks=n_blocks,
                 own_lo=block_rx.left_history_samples(cfg),
-                max_frames=max_frames,
+                max_frames=max_frames, estimator=estimator, soft=soft,
             )
         self.left_hist = block_rx.left_history_samples(cfg)
         self.ring = IQRing(ring_capacity or 4 * self.span)

@@ -168,6 +168,8 @@ def flat_rx(
     max_frames: int = 8,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
     viterbi_backend: str = "auto",
 ) -> BlockRxResult:
     """One flat pass over a pre-assembled stream: detection
@@ -176,7 +178,10 @@ def flat_rx(
     decodes them all. ``start`` is reported relative to ``own_lo``; results
     are (n_blocks·max_frames,)-flat. Used by scan_rx (left history = zeros)
     and by the sharded executor's per-device body (left history = the
-    ppermute'd neighbor tail)."""
+    ppermute'd neighbor tail). ``estimator='sta'`` enables decision-directed
+    STA channel tracking, ``soft=True`` max-log-MAP LLR demapping
+    (lib/mimo_ofdm_equalizer_impl.cc:500-592; soft is a capability upgrade
+    over the reference's hard decisions)."""
     mf = max_frames
     det = sync.detect_frames_stream(
         cfg, xp, block_len, n_blocks, own_lo,
@@ -193,9 +198,9 @@ def flat_rx(
 
     def one_frame(sym, tc):
         eq = equalizer.equalize_frame(
-            cfg, spec, ofdm.fft_symbols(cfg, sym), tc
+            cfg, spec, ofdm.fft_symbols(cfg, sym), tc, estimator=estimator
         )
-        return decoder.frame_values(spec, eq.z), eq.sig_ok, eq.snr_legacy
+        return decoder.frame_values(spec, eq.z, soft=soft), eq.sig_ok, eq.snr_legacy
 
     values, sig_ok, snr = jax.vmap(one_frame)(syms, total_cfo)
     n_data_bits = spec.packet_params.n_data_bits
@@ -222,6 +227,8 @@ def scan_rx(
     max_frames_per_block: int = 8,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
     batched: bool = True,
     viterbi_backend: str = "auto",
 ) -> BlockRxResult:
@@ -249,14 +256,15 @@ def scan_rx(
         return rx_block(
             cfg, spec, blk, block_len, own_lo=left_hist,
             max_frames=max_frames_per_block, threshold=threshold,
-            min_n_peaks=min_n_peaks,
+            min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
         )
 
     if batched and block_len % sync.SEG == 0:
         return flat_rx(
             cfg, spec, xp, block_len, n_blocks, left_hist,
             max_frames=max_frames_per_block, threshold=threshold,
-            min_n_peaks=min_n_peaks, viterbi_backend=viterbi_backend,
+            min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
+            viterbi_backend=viterbi_backend,
         )
     if batched:
         starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
@@ -270,7 +278,7 @@ def scan_rx(
             lambda blk: _rx_block_prelude(
                 cfg, spec, blk, block_len, own_lo=left_hist,
                 max_frames=max_frames_per_block, threshold=threshold,
-                min_n_peaks=min_n_peaks, estimator="ls", soft=False,
+                min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
             )
         )(blocks)
         n_data_bits = spec.packet_params.n_data_bits
@@ -337,6 +345,8 @@ def rx_block_dynamic(
     max_payload: int = 256,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
 ) -> DynBlockRxResult:
     """Detect every owned frame and decode it with SIG-discovered
     MCS/length/type (mixed-traffic captures: interleaved MCS, NDP + DATA)."""
@@ -349,7 +359,8 @@ def rx_block_dynamic(
 
     frames = jax.vmap(
         lambda t, c: dynamic_rx.rx_frame_dynamic(
-            cfg, x, t, c, max_payload=max_payload
+            cfg, x, t, c, max_payload=max_payload, estimator=estimator,
+            soft=soft,
         )
     )(starts, det.coarse_cfo)
     return DynBlockRxResult(
@@ -376,10 +387,14 @@ def flat_rx_dynamic(
     max_payload: int = 256,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
     viterbi_backend: str = "auto",
 ) -> DynBlockRxResult:
     """SIG-driven analog of :func:`flat_rx`: one detection pass, one
-    DMA-gathered extraction batch, one shared-envelope Viterbi call."""
+    DMA-gathered extraction batch, one shared-envelope Viterbi call.
+    ``estimator='sta'`` adds decision-directed tracking under the
+    SIG-discovered MCS; ``soft=True`` feeds LLRs to the shared Viterbi."""
     det = sync.detect_frames_stream(
         cfg, xp, block_len, n_blocks, own_lo,
         threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames,
@@ -393,7 +408,8 @@ def flat_rx_dynamic(
     )
     pre = jax.vmap(
         lambda sym, tc: dynamic_rx.rx_frame_dynamic_values_from_syms(
-            cfg, sym, tc, max_payload=max_payload
+            cfg, sym, tc, max_payload=max_payload, estimator=estimator,
+            soft=soft,
         )
     )(syms, total_cfo)
     bits = _viterbi_backend(viterbi_backend)(
@@ -426,6 +442,8 @@ def scan_rx_dynamic(
     max_payload: int = 256,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
     batched: bool = True,
     viterbi_backend: str = "auto",
 ) -> DynBlockRxResult:
@@ -446,6 +464,7 @@ def scan_rx_dynamic(
             cfg, blk, block_len, own_lo=left_hist,
             max_frames=max_frames_per_block, max_payload=max_payload,
             threshold=threshold, min_n_peaks=min_n_peaks,
+            estimator=estimator, soft=soft,
         )
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_len
@@ -454,6 +473,7 @@ def scan_rx_dynamic(
             cfg, xp, block_len, n_blocks, left_hist,
             max_frames=max_frames_per_block, max_payload=max_payload,
             threshold=threshold, min_n_peaks=min_n_peaks,
+            estimator=estimator, soft=soft,
             viterbi_backend=viterbi_backend,
         )
     if batched:

@@ -89,13 +89,15 @@ def payload_values_dynamic(
     mcs_idx: jax.Array,
     data_size_byte: jax.Array,
     max_payload: int,
+    soft: bool = False,
 ) -> jax.Array:
     """lax.switch over the 6 MCS: demod → depuncture, each branch padding
     its depunctured values with erasures to the shared
     2·``max_trellis_bits`` envelope. One Viterbi call then serves every
     MCS/length — positions beyond a frame's true coded extent are erased, so
     the survivor path through the real steps is the same MLE path the
-    per-branch decode would find (zero-cost steps never change it)."""
+    per-branch decode would find (zero-cost steps never change it).
+    ``soft=True`` feeds max-log-MAP LLRs instead of ±1 hard values."""
     max_bytes = max_payload + 4
     t_max = max_trellis_bits(max_payload)
 
@@ -109,10 +111,13 @@ def payload_values_dynamic(
         def run(z_in, n_bytes):
             _n_sym, n_data_bits = frame_geometry(jnp.int32(int(mcs)), n_bytes)
             zz = z_in[:branch_max_sym].reshape(-1)
-            vals = modulation.hard_decision(zz, mcs)
-            rx_bits = coding.merge_symbols(vals, mp.n_bpsc)
+            if soft:
+                chan_values = modulation.soft_llr(zz, mcs)
+            else:
+                vals = modulation.hard_decision(zz, mcs)
+                chan_values = hard_to_values(coding.merge_symbols(vals, mp.n_bpsc))
             values = coding.depuncture(
-                hard_to_values(rx_bits), mcs, 2 * branch_max_bits, erasure=0.0
+                chan_values, mcs, 2 * branch_max_bits, erasure=0.0
             )
             # erase positions beyond this frame's true coded extent
             pos = jnp.arange(2 * branch_max_bits)
@@ -178,6 +183,7 @@ def rx_frame_dynamic_values(
     *,
     max_payload: int = 256,
     estimator: str = "ls",
+    soft: bool = False,
 ) -> DynamicPre:
     """Sync + equalize + demod one frame with SIG-discovered parameters,
     stopping before the Viterbi pass."""
@@ -188,7 +194,8 @@ def rx_frame_dynamic_values(
         cfg, x, trigger, coarse_cfo, n_sym_total
     )
     return rx_frame_dynamic_values_from_syms(
-        cfg, syms_t, total_cfo, max_payload=max_payload, estimator=estimator
+        cfg, syms_t, total_cfo, max_payload=max_payload, estimator=estimator,
+        soft=soft,
     )
 
 
@@ -199,6 +206,7 @@ def rx_frame_dynamic_values_from_syms(
     *,
     max_payload: int = 256,
     estimator: str = "ls",
+    soft: bool = False,
 ) -> DynamicPre:
     """SIG decode + equalize + demod from already-extracted symbols (the
     batching executor extracts all frames at once; see
@@ -303,7 +311,7 @@ def rx_frame_dynamic_values_from_syms(
             (y_data, refs, jnp.arange(max_n_sym)),
         )
 
-    values = payload_values_dynamic(z, mcs_idx, length, max_payload)
+    values = payload_values_dynamic(z, mcs_idx, length, max_payload, soft=soft)
     return DynamicPre(
         values=values,
         mcs=mcs_idx,
@@ -340,11 +348,12 @@ def rx_frame_dynamic(
     *,
     max_payload: int = 256,
     estimator: str = "ls",
+    soft: bool = False,
 ) -> DynamicFrame:
     """Sync + equalize + decode one frame with SIG-discovered parameters."""
     pre = rx_frame_dynamic_values(
         cfg, x, trigger, coarse_cfo, max_payload=max_payload,
-        estimator=estimator,
+        estimator=estimator, soft=soft,
     )
     decoded = viterbi_decode(pre.values, n_out=16 + 8 * (max_payload + 4))
     return rx_frame_dynamic_finish(pre, decoded, max_payload)

@@ -124,19 +124,21 @@ def _build_sharded_rx(
                     cfg, x_ext, block_len, 1, left_hist,
                     max_frames=max_frames, max_payload=max_payload,
                     threshold=threshold, min_n_peaks=min_n_peaks,
+                    estimator=estimator, soft=soft,
                 )
             else:
                 res = block_rx.rx_block_dynamic(
                     cfg, x_ext, block_len, own_lo=left_hist,
                     max_frames=max_frames, max_payload=max_payload,
                     threshold=threshold, min_n_peaks=min_n_peaks,
+                    estimator=estimator, soft=soft,
                 )
         else:
-            if flat_ok and estimator == "ls" and not soft:
+            if flat_ok:
                 res = block_rx.flat_rx(
                     cfg, spec, x_ext, block_len, 1, left_hist,
                     max_frames=max_frames, threshold=threshold,
-                    min_n_peaks=min_n_peaks,
+                    min_n_peaks=min_n_peaks, estimator=estimator, soft=soft,
                 )
             else:
                 res = block_rx.rx_block(
@@ -212,6 +214,8 @@ def sharded_rx_dynamic(
     max_payload: int = 256,
     threshold: float = 0.6,
     min_n_peaks: int = 10,
+    estimator: str = "ls",
+    soft: bool = False,
 ) -> ShardedDynRxResult:
     """SIG-driven dynamic variant: every device decodes whatever MCS/length/
     type its owned frames announce (mixed-traffic captures)."""
@@ -220,7 +224,7 @@ def sharded_rx_dynamic(
     assert n % n_dev == 0, (n, n_dev)
     jitted = _build_sharded_rx(
         cfg, None, mesh, n // n_dev, max_frames_per_block, threshold,
-        min_n_peaks, "ls", False, max_payload,
+        min_n_peaks, estimator, soft, max_payload,
     )
     sharding = NamedSharding(mesh, P("time"))
     samples = jax.device_put(cx.from_complex(samples), sharding)
