@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--background-removal", action="store_true")
     p.add_argument("--snr-threshold", type=float, default=15.0)
     p.add_argument("--radar-log", default="radar_log.csv")
+    p.add_argument("--capture-csv", default=None,
+                   help="append each dwell's radar channel tensor in the "
+                        "reference CSV format (lib/mimo_ofdm_radar_impl.cc:348-387)")
     p.add_argument("--heatmap", default="range_angle.png")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
@@ -46,7 +49,7 @@ def main(argv=None):
     from jrc_tpu.models import radar_chain
     from jrc_tpu.ops import channel, radar
     from jrc_tpu.ops.encoder import FrameSpec, make_payload
-    from jrc_tpu.utils.logging import RadarLog
+    from jrc_tpu.utils.logging import RadarLog, append_radar_capture_csv
     from jrc_tpu.viz.heatmap import render_heatmap
 
     cfg = OFDMConfig()
@@ -75,6 +78,9 @@ def main(argv=None):
         if det:
             log.log_detection(float(est.power), float(est.snr_db),
                               float(est.range_m), float(est.angle_deg))
+        if args.capture_csv:
+            append_radar_capture_csv(
+                args.capture_csv, np.asarray(res.chan), cfg.n_tx, cfg.n_rx)
         last = res
 
     if last is not None and args.heatmap:

@@ -104,3 +104,50 @@ def save_radar_capture(path: str, chan: np.ndarray, meta: dict | None = None) ->
     """npz capture of the radar channel tensor (fast variant of the
     reference's CSV dump, lib/mimo_ofdm_radar_impl.cc:348-387)."""
     np.savez_compressed(path, chan=np.asarray(chan), **(meta or {}))
+
+
+def append_radar_capture_csv(
+    path: str, chan: np.ndarray, n_tx: int, n_rx: int,
+    timestamp: str | None = None,
+) -> None:
+    """Append one capture in the reference's radar-channel CSV format
+    (lib/mimo_ofdm_radar_impl.cc:357-377, Eigen csv_formatting):
+
+        HH:MM:SS.mmm, N_tx, N_rx, fft_len:(re,im);(re,im);…;(re,im);
+
+    ``chan`` is the (n_tx·n_rx, fft_len) channel-major tensor the radar
+    estimator emits — flattened channel-major exactly like the reference's
+    ``radar_chan_est`` buffer map.
+    """
+    chan = np.asarray(chan)
+    fft_len = chan.shape[-1]
+    flat = chan.reshape(-1)
+    assert flat.size == n_tx * n_rx * fft_len, (chan.shape, n_tx, n_rx)
+    ts = timestamp if timestamp is not None else _now_hms_ms()
+    cells = ";".join(f"({v.real:.9g},{v.imag:.9g})" for v in flat)
+    with open(path, "a") as fh:
+        fh.write(f"{ts}, {n_tx}, {n_rx}, {fft_len}:{cells};\n")
+
+
+def read_radar_capture_csv(path: str):
+    """Parse every capture line of the reference radar-channel CSV back into
+    (timestamp, n_tx, n_rx, (n_tx·n_rx, fft_len) complex64) tuples."""
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            if "(" not in line or "," not in line:
+                continue
+            # the header's HH:MM:SS timestamp contains ':' too — the
+            # header/data separator is the last ':' before the first '('
+            pre = line[: line.index("(")]
+            head = pre[: pre.rindex(":")]
+            rest = line[len(head) + 1 :]
+            ts, n_tx_s, n_rx_s, fft_s = (p.strip() for p in head.split(","))
+            n_tx, n_rx, fft_len = int(n_tx_s), int(n_rx_s), int(fft_s)
+            cells = [c for c in rest.strip().split(";") if c.strip()]
+            vals = np.array(
+                [complex(*(float(p) for p in c.strip("() \n").split(",")))
+                 for c in cells], np.complex64,
+            )
+            out.append((ts, n_tx, n_rx, vals.reshape(n_tx * n_rx, fft_len)))
+    return out

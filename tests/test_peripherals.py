@@ -119,3 +119,36 @@ def test_udp_pdu_loopback():
     finally:
         src.close()
         sink.close()
+
+
+def test_radar_capture_csv_roundtrip(tmp_path):
+    """Reference radar-channel capture CSV (lib/mimo_ofdm_radar_impl.cc:
+    348-387): header 'HH:MM:SS.mmm, N_tx, N_rx, fft_len:' then the
+    channel-major complex tensor as '(re,im);…;' — write, parse back,
+    bit-exact; format shape checked against the Eigen csv_formatting."""
+    import re
+
+    from jrc_tpu.utils.logging import (append_radar_capture_csv,
+                                       read_radar_capture_csv)
+
+    rng = np.random.default_rng(5)
+    chan = (rng.normal(size=(CFG.n_virtual, CFG.fft_len, 2)) * [1, 1j]) \
+        .sum(-1).astype(np.complex64)
+    path = str(tmp_path / "radar_chan.csv")
+    append_radar_capture_csv(path, chan, CFG.n_tx, CFG.n_rx,
+                             timestamp="10:20:30.456")
+    append_radar_capture_csv(path, 2 * chan, CFG.n_tx, CFG.n_rx)
+
+    line = open(path).readline().rstrip("\n")
+    m = re.match(r"^(\d2:\d2:\d2\.\d3), (\d+), (\d+), (\d+):(\(.*\);)$"
+                 .replace(r"\d2", r"\d{2}").replace(r"\d3", r"\d{3}"), line)
+    assert m, line
+    assert (m.group(2), m.group(3), m.group(4)) == ("4", "2", "64")
+    assert line.count(";") == CFG.n_virtual * CFG.fft_len  # incl. matSuffix
+
+    caps = read_radar_capture_csv(path)
+    assert len(caps) == 2
+    ts, n_tx, n_rx, parsed = caps[0]
+    assert (ts, n_tx, n_rx) == ("10:20:30.456", CFG.n_tx, CFG.n_rx)
+    np.testing.assert_allclose(parsed, chan, rtol=1e-6)
+    np.testing.assert_allclose(caps[1][3], 2 * chan, rtol=1e-6)
