@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--comm-log", default="comm_log.csv")
     p.add_argument("--heatmap", default="jrc_range_angle.png")
+    p.add_argument("--live", action="store_true",
+                   help="timer-refreshed live heatmap + link-metric scatter "
+                        "(atomic PNG rewrites)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -82,6 +85,14 @@ def main(argv=None):
 
     state = jrc_trx.init_state(cfg)
     rlog, clog = RadarLog(args.radar_log), CommLog(args.comm_log)
+    live_hm = live_tp = None
+    if args.live:
+        from jrc_tpu.viz.live import LiveHeatmap, LiveTimePlot
+
+        rb0 = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
+        if args.heatmap:
+            live_hm = LiveHeatmap(rb0, cfg.angle_axis(16), path=args.heatmap)
+        live_tp = LiveTimePlot(path="jrc_metrics.png")
     last_map = None
     n_ok = 0
     n_data = 0
@@ -110,6 +121,9 @@ def main(argv=None):
             est, ra_map, background = jrc_trx.jrc_radar_rx(cfg, state, tx.grid, rx)
             state = jrc_trx.radar_state_update(state, est, background)
             last_map = ra_map
+            if live_hm is not None:
+                live_hm.push(np.asarray(cx.abs2(ra_map)))
+                live_hm.tick()
             det = bool(np.asarray(est.detected))
             if det:
                 rlog.log_detection(float(est.power), float(est.snr_db),
@@ -134,6 +148,10 @@ def main(argv=None):
                        float(np.asarray(comm.eq.snr_legacy)),
                        float(np.asarray(comm.eq.snr_data)),
                        100.0 * (1 - n_ok / max(n_data, 1)))
+        if live_tp is not None:
+            live_tp.push("snr_db", now, float(np.asarray(comm.eq.snr_legacy)))
+            live_tp.push("per_%", now, 100.0 * (1 - n_ok / max(n_data, 1)))
+            live_tp.tick()
         kind = "NDP " if is_ndp else "DATA"
         leg = "BURST" if burst is not None else "tx-only"
         msg = f"frame {d} [{kind}] {leg}: crc={crc}"
@@ -144,7 +162,7 @@ def main(argv=None):
         print(msg)
     if last_map is not None and args.heatmap:
         rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
-        power = np.asarray(jax.jit(lambda m: jnp.abs(m) ** 2)(last_map))
+        power = np.asarray(jax.jit(cx.abs2)(last_map))
         render_heatmap(power, rb, cfg.angle_axis(16), path=args.heatmap)
     print(f"bursts={session.n_bursts} tx_only={session.n_tx_only} "
           f"missed={session.n_missed}; "

@@ -35,6 +35,9 @@ def main(argv=None):
                    help="append each dwell's radar channel tensor in the "
                         "reference CSV format (lib/mimo_ofdm_radar_impl.cc:348-387)")
     p.add_argument("--heatmap", default="range_angle.png")
+    p.add_argument("--live", action="store_true",
+                   help="timer-refreshed live heatmap (atomic PNG rewrite "
+                        "each refresh; point a file viewer at --heatmap)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -49,6 +52,7 @@ def main(argv=None):
     from jrc_tpu.models import radar_chain
     from jrc_tpu.ops import channel, radar
     from jrc_tpu.ops.encoder import FrameSpec, make_payload
+    from jrc_tpu.ops import cplx as cx
     from jrc_tpu.utils.logging import RadarLog, append_radar_capture_csv
     from jrc_tpu.viz.heatmap import render_heatmap
 
@@ -62,6 +66,12 @@ def main(argv=None):
 
     bg = radar.init_background(8, cfg.n_virtual, cfg.fft_len) \
         if args.background_removal else None
+    live = None
+    if args.live and args.heatmap:
+        from jrc_tpu.viz.live import LiveHeatmap
+
+        rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
+        live = LiveHeatmap(rb, cfg.angle_axis(16), path=args.heatmap)
     last = None
     for d in range(args.dwells):
         res = radar_chain.radar_frame(
@@ -81,13 +91,16 @@ def main(argv=None):
         if args.capture_csv:
             append_radar_capture_csv(
                 args.capture_csv, np.asarray(res.chan), cfg.n_tx, cfg.n_rx)
+        if live is not None:
+            live.push(np.asarray(cx.abs2(res.ra_map)))
+            live.tick()
         last = res
 
     if last is not None and args.heatmap:
         rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
         # power computed in-graph: complex device->host transfers are
         # unimplemented on some TPU runtimes
-        power = np.asarray(jax.jit(lambda m: jnp.abs(m) ** 2)(last.ra_map))
+        power = np.asarray(jax.jit(cx.abs2)(last.ra_map))
         render_heatmap(power, rb, cfg.angle_axis(16), path=args.heatmap)
         print(f"heatmap -> {args.heatmap}; log -> {args.radar_log}")
     return 0

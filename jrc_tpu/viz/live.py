@@ -1,0 +1,134 @@
+"""Live (timer-refreshed) plotting — the reference's GUI sinks' runtime
+behavior (lib/gui_heatmap_plot_impl.cc:142-157 + lib/heatmap_plot.cc:130-206,
+lib/gui_time_plot_impl.cc:77-103 + lib/time_plot.cc:101-141).
+
+The reference decouples data-rate from display-rate: the work thread copies
+each map into a shared buffer under a mutex, and a QTimer redraws whatever is
+newest at its own cadence. These classes keep exactly that contract:
+
+* ``push(...)`` is cheap and thread-safe — it overwrites the shared latest
+  buffer (maps) or appends to the sliding window (metrics) and never draws;
+* ``tick(now)`` redraws only when ``refresh_interval_s`` has elapsed since
+  the last draw — pushes in between are coalesced, like QTimer frames;
+* with a display the draw goes to an interactive matplotlib window; headless
+  (the normal case here) each refresh atomically rewrites a PNG, so
+  ``watch -n0.1`` / any file viewer becomes the live display.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from jrc_tpu.viz.heatmap import render_heatmap
+from jrc_tpu.viz.timeplot import TimeSeries
+
+
+class _LiveBase:
+    def __init__(self, refresh_interval_s: float = 0.25, path: str | None = None):
+        self.refresh_interval_s = refresh_interval_s
+        self.path = path
+        self.n_pushed = 0
+        self.n_drawn = 0
+        self._last_draw = -float("inf")
+        self._lock = threading.Lock()
+
+    def tick(self, now: float | None = None) -> bool:
+        """Redraw if the refresh interval has elapsed; returns True when a
+        frame was actually drawn (QTimer semantics: data pushes between
+        ticks are coalesced into the newest frame)."""
+        if now is None:
+            now = time.monotonic()
+        if now - self._last_draw < self.refresh_interval_s:
+            return False
+        with self._lock:
+            drew = self._draw()
+        if drew:
+            self._last_draw = now
+            self.n_drawn += 1
+        return drew
+
+    def run(self, stop: threading.Event, poll_s: float = 0.02):
+        """Refresh loop (the QTimer thread): tick until ``stop`` is set."""
+        while not stop.is_set():
+            self.tick()
+            time.sleep(poll_s)
+        self.tick(now=float("inf"))  # final frame
+
+    def _save_atomic(self, fig):
+        """Rewrite ``self.path`` atomically so a watching viewer never sees
+        a half-written file."""
+        tmp = self.path + ".tmp.png"
+        fig.savefig(tmp, dpi=110, bbox_inches="tight")
+        os.replace(tmp, self.path)
+
+    def _draw(self) -> bool:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class LiveHeatmap(_LiveBase):
+    """Timer-refreshed range-angle spectrogram (gui_heatmap_plot)."""
+
+    def __init__(self, range_bins, angle_bins, *, path: str = "live_heatmap.png",
+                 refresh_interval_s: float = 0.25, **render_kwargs):
+        super().__init__(refresh_interval_s, path)
+        self.range_bins = np.asarray(range_bins)
+        self.angle_bins = np.asarray(angle_bins)
+        self.render_kwargs = render_kwargs
+        self._latest: np.ndarray | None = None
+        self._dirty = False
+
+    def push(self, ra_map) -> None:
+        """Overwrite the shared latest-map buffer (work-thread side,
+        lib/gui_heatmap_plot_impl.cc:142-157)."""
+        m = np.asarray(ra_map)
+        with self._lock:
+            self._latest = m
+            self._dirty = True
+            self.n_pushed += 1
+
+    def _draw(self) -> bool:
+        if self._latest is None or not self._dirty:
+            return False
+        import matplotlib.pyplot as plt
+
+        fig = render_heatmap(
+            self._latest, self.range_bins, self.angle_bins,
+            title=f"Range-Angle Map (frame {self.n_pushed})",
+            **self.render_kwargs,
+        )
+        self._save_atomic(fig)
+        plt.close(fig)
+        self._dirty = False
+        return True
+
+
+class LiveTimePlot(_LiveBase):
+    """Timer-refreshed metric-vs-time scatter (gui_time_plot)."""
+
+    def __init__(self, *, window_s: float = 30.0, path: str = "live_metrics.png",
+                 refresh_interval_s: float = 0.25, title: str = "Link metrics"):
+        super().__init__(refresh_interval_s, path)
+        self.series = TimeSeries(window_s)
+        self.title = title
+        self._dirty = False
+
+    def push(self, tag: str, t: float, value: float) -> None:
+        """Append one stats sample (the reference's ``stats`` message port)."""
+        with self._lock:
+            self.series.add(tag, t, float(value))
+            self._dirty = True
+            self.n_pushed += 1
+
+    def _draw(self) -> bool:
+        if not self._dirty:
+            return False
+        import matplotlib.pyplot as plt
+
+        fig = self.series.render(title=self.title)
+        self._save_atomic(fig)
+        plt.close(fig)
+        self._dirty = False
+        return True
