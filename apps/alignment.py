@@ -34,7 +34,7 @@ def main(argv=None):
     import numpy as np
 
     from jrc_tpu.config import OFDMConfig
-    from jrc_tpu.ops import channel, radar
+    from jrc_tpu.ops import channel, cplx as cx, radar
 
     cfg = OFDMConfig()
     r, v, az, rcs = (float(x) for x in args.target.split(":"))
@@ -53,7 +53,7 @@ def main(argv=None):
         rx = channel.apply_targets(
             jnp.asarray(tx), targets, sample_rate=cfg.sample_rate,
             center_freq=cfg.center_freq, pos_virtual=pos)
-        spec = jnp.fft.fft(rx, axis=-1)
+        spec = jnp.fft.fft(cx.to_complex(rx), axis=-1)
         pk = radar.fft_peak_detect(spec, cfg.sample_rate, samp_protect=2)
         for rx_i in range(cfg.n_rx):
             f = float(np.asarray(pk.freq)[rx_i])
