@@ -112,6 +112,7 @@ def main(argv=None):
 
         # radar leg through the TRX boundary: burst at most every
         # update_period, TX-only otherwise
+        t_frame = now
         burst = session.frame(np.asarray(tx.samples), now)
         now += args.frame_interval
         det = False
@@ -122,7 +123,8 @@ def main(argv=None):
             state = jrc_trx.radar_state_update(state, est, background)
             last_map = ra_map
             if live_hm is not None:
-                live_hm.push(np.asarray(cx.abs2(ra_map)))
+                # lazy push: the d2h transfer happens only on drawn frames
+                live_hm.push(lambda m=ra_map: np.asarray(cx.abs2(m)))
                 live_hm.tick()
             det = bool(np.asarray(est.detected))
             if det:
@@ -149,8 +151,8 @@ def main(argv=None):
                        float(np.asarray(comm.eq.snr_data)),
                        100.0 * (1 - n_ok / max(n_data, 1)))
         if live_tp is not None:
-            live_tp.push("snr_db", now, float(np.asarray(comm.eq.snr_legacy)))
-            live_tp.push("per_%", now, 100.0 * (1 - n_ok / max(n_data, 1)))
+            live_tp.push("snr_db", t_frame, float(np.asarray(comm.eq.snr_legacy)))
+            live_tp.push("per_%", t_frame, 100.0 * (1 - n_ok / max(n_data, 1)))
             live_tp.tick()
         kind = "NDP " if is_ndp else "DATA"
         leg = "BURST" if burst is not None else "tx-only"

@@ -92,7 +92,7 @@ def main(argv=None):
             append_radar_capture_csv(
                 args.capture_csv, np.asarray(res.chan), cfg.n_tx, cfg.n_rx)
         if live is not None:
-            live.push(np.asarray(cx.abs2(res.ra_map)))
+            live.push(lambda m=res.ra_map: np.asarray(cx.abs2(m)))
             live.tick()
         last = res
 

@@ -68,10 +68,15 @@ class TrxSession:
         *,
         update_period: float = 0.04,
         num_delay_samps: int = 0,
+        sample_rate: float | None = None,
     ):
         self.backend = backend
         self.update_period = update_period
         self.num_delay_samps = num_delay_samps
+        # for the rx_time shift of the alignment strip; defaults to the
+        # backend's configured rate when it exposes one
+        cfg = getattr(backend, "cfg", None)
+        self.sample_rate = sample_rate or getattr(cfg, "sample_rate", None)
         self._prev_tx_time = -float("inf")
         self.n_bursts = 0
         self.n_tx_only = 0
@@ -93,7 +98,11 @@ class TrxSession:
             self.n_missed += 1
             return None
         self.n_bursts += 1
-        return BurstResult(rx=res.rx[..., d : d + n_want], rx_time=res.rx_time)
+        # the aligned capture starts d samples after the raw one — shift the
+        # timestamp with it so cross-dwell alignment stays unbiased
+        t_shift = d / self.sample_rate if self.sample_rate else 0.0
+        return BurstResult(
+            rx=res.rx[..., d : d + n_want], rx_time=res.rx_time + t_shift)
 
 
 class SimTrx(TrxBackend):

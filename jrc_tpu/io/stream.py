@@ -123,9 +123,12 @@ class BlockStreamer:
         """
         import jax
 
+        # blk.real/.imag are float32 strided views of the complex64 block;
+        # one ascontiguousarray call is the single copy (astype would copy
+        # a second time)
         x = cx.CArray(
-            np.ascontiguousarray(blk.real).astype(np.float32),
-            np.ascontiguousarray(blk.imag).astype(np.float32),
+            np.ascontiguousarray(blk.real),
+            np.ascontiguousarray(blk.imag),
         )
         return jax.device_put(x, self._device) if self._device is not None else x
 

@@ -275,15 +275,7 @@ def jrc_step(
     else:
         new_chan_est = state.chan_est
         chan_valid = state.chan_valid
-    radar_angle = jnp.where(est.detected, est.angle_deg, state.radar_angle)
-    radar_valid = state.radar_valid | est.detected
-
-    new_state = JRCState(
-        chan_est=new_chan_est,
-        chan_valid=chan_valid,
-        radar_angle=radar_angle.astype(jnp.float32),
-        radar_valid=radar_valid,
-        background=background,
-        frame_count=state.frame_count + 1,
+    new_state = radar_state_update(state, est, background)._replace(
+        chan_est=new_chan_est, chan_valid=chan_valid,
     )
     return JRCStepResult(state=new_state, comm=comm, radar_est=est, ra_map=ra_map)

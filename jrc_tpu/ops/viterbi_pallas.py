@@ -52,9 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from jrc_tpu.ops.viterbi import N_STATES, _trellis
 
 LANE = 128
-CHUNK_T = 32  # bits per packed decision word (fixed by the uint32 packing)
-GRID_T = 16  # trellis steps per grid iteration (body is fully unrolled —
-#              16 keeps Mosaic compile ~3× faster than 32 at equal runtime)
+GRID_T = 16  # trellis steps per grid iteration = bits used per packed
+#              uint32 word (body is fully unrolled — 16 keeps Mosaic
+#              compile ~3× faster than 32 at equal runtime)
 
 
 @lru_cache(maxsize=1)
@@ -185,7 +185,7 @@ def viterbi_decode_pallas(
 
     (…, 2T) channel values → (…, T) bits; same conventions and output as
     ops.viterbi.viterbi_decode (bit-identical modulo equal-metric ties).
-    The trellis is zero-padded (zero = erasure) to a CHUNK_T multiple and
+    The trellis is zero-padded (zero = erasure) to a GRID_T multiple and
     the batch to a lane multiple; erasure steps leave optimal path metrics
     and the decoded bits of real steps intact.
     """

@@ -140,10 +140,15 @@ def read_radar_capture_csv(path: str):
             # the header's HH:MM:SS timestamp contains ':' too — the
             # header/data separator is the last ':' before the first '('
             pre = line[: line.index("(")]
+            if ":" not in pre:
+                continue  # stray chatter line, not a capture record
             head = pre[: pre.rindex(":")]
             rest = line[len(head) + 1 :]
-            ts, n_tx_s, n_rx_s, fft_s = (p.strip() for p in head.split(","))
-            n_tx, n_rx, fft_len = int(n_tx_s), int(n_rx_s), int(fft_s)
+            try:
+                ts, n_tx_s, n_rx_s, fft_s = (p.strip() for p in head.split(","))
+                n_tx, n_rx, fft_len = int(n_tx_s), int(n_rx_s), int(fft_s)
+            except ValueError:
+                continue  # malformed header — skip, keep parsing the rest
             cells = [c for c in rest.strip().split(";") if c.strip()]
             vals = np.array(
                 [complex(*(float(p) for p in c.strip("() \n").split(",")))

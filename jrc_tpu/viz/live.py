@@ -38,16 +38,18 @@ class _LiveBase:
     def tick(self, now: float | None = None) -> bool:
         """Redraw if the refresh interval has elapsed; returns True when a
         frame was actually drawn (QTimer semantics: data pushes between
-        ticks are coalesced into the newest frame)."""
+        ticks are coalesced into the newest frame). The interval check and
+        draw bookkeeping run under the lock so a run() refresh thread and a
+        caller's own tick() cannot double-draw one interval."""
         if now is None:
             now = time.monotonic()
-        if now - self._last_draw < self.refresh_interval_s:
-            return False
         with self._lock:
+            if now - self._last_draw < self.refresh_interval_s:
+                return False
             drew = self._draw()
-        if drew:
-            self._last_draw = now
-            self.n_drawn += 1
+            if drew:
+                self._last_draw = now
+                self.n_drawn += 1
         return drew
 
     def run(self, stop: threading.Event, poll_s: float = 0.02):
@@ -82,8 +84,10 @@ class LiveHeatmap(_LiveBase):
 
     def push(self, ra_map) -> None:
         """Overwrite the shared latest-map buffer (work-thread side,
-        lib/gui_heatmap_plot_impl.cc:142-157)."""
-        m = np.asarray(ra_map)
+        lib/gui_heatmap_plot_impl.cc:142-157). ``ra_map`` may be a zero-arg
+        callable — it is materialized only when a frame is actually drawn,
+        so coalesced pushes never pay a device→host transfer."""
+        m = ra_map if callable(ra_map) else np.asarray(ra_map)
         with self._lock:
             self._latest = m
             self._dirty = True
@@ -94,8 +98,9 @@ class LiveHeatmap(_LiveBase):
             return False
         import matplotlib.pyplot as plt
 
+        latest = self._latest() if callable(self._latest) else self._latest
         fig = render_heatmap(
-            self._latest, self.range_bins, self.angle_bins,
+            latest, self.range_bins, self.angle_bins,
             title=f"Range-Angle Map (frame {self.n_pushed})",
             **self.render_kwargs,
         )

@@ -25,7 +25,8 @@ enable_compile_cache()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jrc_tpu.ops.viterbi import N_STATES
-from jrc_tpu.ops.viterbi_pallas import _sign_tables, LANE, CHUNK_T
+from jrc_tpu.ops.viterbi_pallas import _sign_tables, LANE
+CHUNK_T = 32
 
 B = 3072
 T = 864
