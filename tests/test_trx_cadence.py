@@ -94,3 +94,16 @@ def test_rx_deadline_miss_skips_frame():
     assert session.n_missed == 1 and session.n_bursts == 3
     assert all(bool(np.asarray(e.detected)) for e in ests)
     assert abs(float(ests[-1].range_m) - 12.0) < 0.6
+
+
+def test_rx_time_shifted_with_alignment():
+    """Stripping num_delay_samps moves the capture start forward in time;
+    the reported rx_time must move with it (no cross-dwell timestamp bias)."""
+    trx = SimTrx(CFG, TARGETS, hw_delay_samps=DELAY)
+    session = TrxSession(trx, update_period=0.0, num_delay_samps=DELAY)
+    tx = jrc_trx.jrc_tx(CFG, jrc_trx.init_state(CFG), SPEC, PAYLOAD,
+                        key=jax.random.PRNGKey(0), pad_front=PAD_FRONT)
+    raw_t = trx._t  # backend clock before the burst
+    burst = session.frame(np.asarray(tx.samples), now=0.0)
+    assert burst is not None
+    assert abs(burst.rx_time - (raw_t + DELAY / CFG.sample_rate)) < 1e-12
