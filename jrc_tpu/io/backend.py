@@ -153,6 +153,7 @@ class SimTrx(TrxBackend):
                 tx, self.targets, sample_rate=cfg.sample_rate,
                 center_freq=cfg.center_freq, pos_virtual=pos,
                 self_coupling_db=self.self_coupling_db,
+                t0=self._t,  # stream-continuous Doppler phase across bursts
             )
         else:
             rx = jnp.zeros((cfg.n_rx, tx.shape[-1]), jnp.complex64)

@@ -72,8 +72,18 @@ def apply_targets(
     pos_virtual: np.ndarray,  # (n_tx, n_rx) meters
     rng_key=None,  # enables per-target random phase when given
     self_coupling_db: float | None = None,
+    t0: float = 0.0,
 ) -> cx.CArray:
-    """Propagate TX waveforms through the target scene → (n_rx, n_samp)."""
+    """Propagate TX waveforms through the target scene → (n_rx, n_samp).
+
+    ``t0`` is the stream time of the first sample: the Doppler phase ramp
+    continues across successive calls exactly like the reference's streaming
+    ``target_simulator`` (its per-sample filter runs over the unbroken
+    stream, lib/target_simulator_impl.cc:280-286) — required for cross-dwell
+    (slow-time) Doppler processing. The delay filter keeps the static range
+    per call, as the reference does (range migration over a dwell sequence
+    is ≪ a range bin at these scene dynamics).
+    """
     tx_time = cx.from_complex(tx_time)
     n_tx, n = tx_time.shape
     n_rx = pos_virtual.shape[1]
@@ -87,7 +97,7 @@ def apply_targets(
     doppler = 2.0 * vel * center_freq / C_LIGHT  # (K,)
     ampl = C_LIGHT * jnp.sqrt(rcs) / FOUR_PI_CUBED_SQRT / rng_t**2 / center_freq
 
-    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+    t = jnp.float32(t0) + jnp.arange(n, dtype=jnp.float32) / sample_rate
     dopp_ramp = cx.expj(2 * jnp.pi * doppler[:, None] * t[None, :])  # (K, n)
     if rng_key is not None:
         phase = jax.random.uniform(rng_key, (k,), minval=0.0, maxval=2 * np.pi)

@@ -19,6 +19,8 @@ def render_heatmap(
     db_ceil: float = 10.0,
     max_range_m: float | None = 32.0,
     title: str = "Range-Angle Map",
+    xlabel: str = "Angle (deg)",
+    ylabel: str = "Range (m)",
     path: str | None = None,
 ):
     """Render |map|² in dB over (angle, range) axes; returns the figure.
@@ -45,8 +47,8 @@ def render_heatmap(
     fig, ax = plt.subplots(figsize=(8, 5))
     pm = ax.pcolormesh(ab, rb, db, cmap="viridis", vmin=db_floor, vmax=db_ceil,
                        shading="nearest")
-    ax.set_xlabel("Angle (deg)")
-    ax.set_ylabel("Range (m)")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     ax.set_title(title)
     fig.colorbar(pm, ax=ax, label="Power (dB)")
     if path is not None:
