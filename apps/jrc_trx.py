@@ -42,6 +42,10 @@ def main(argv=None):
                    help="seconds between produced frames (reference: UDP-paced)")
     p.add_argument("--num-delay-samps", type=int, default=24,
                    help="TX->RX latency compensation (usrp_mimo_trx contract)")
+    p.add_argument("--doppler-frames", type=int, default=0,
+                   help="send this many back-to-back frames per dwell burst "
+                        "and estimate target velocity from the slow-time "
+                        "Doppler across them (0 = off)")
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--comm-log", default="comm_log.csv")
     p.add_argument("--heatmap", default="jrc_range_angle.png")
@@ -61,7 +65,7 @@ def main(argv=None):
     from jrc_tpu.config import MCS, OFDMConfig, PacketType
     from jrc_tpu.io.backend import SimTrx, TrxSession
     from jrc_tpu.models import comm_link, jrc_trx
-    from jrc_tpu.ops import channel, cplx as cx
+    from jrc_tpu.ops import channel, cplx as cx, ofdm, radar
     from jrc_tpu.ops.encoder import FrameSpec, make_payload
     from jrc_tpu.utils.logging import CommLog, RadarLog
     from jrc_tpu.viz.heatmap import render_heatmap
@@ -120,6 +124,41 @@ def main(argv=None):
         if burst is not None:
             rx = cx.from_complex(jnp.asarray(burst.rx))[..., pad_front:]
             est, ra_map, background = jrc_trx.jrc_radar_rx(cfg, state, tx.grid, rx)
+            if args.doppler_frames > 1:
+                # frame train: extra back-to-back bursts inside this dwell
+                # (phase-coherent through the backend's stream clock), then
+                # a slow-time Doppler estimate across the train
+                sl = slice(cfg.n_sync_words + 1,
+                           cfg.n_sync_words + 1 + cfg.n_ltf)
+                x_sl = tx.grid.swapaxes(0, 1)[:, sl]
+                n_sym_tot = tx.grid.shape[0]
+                h_of = jax.jit(lambda r: radar.radar_channel_estimate(
+                    x_sl, ofdm.ofdm_demodulate(cfg, r, n_sym_tot)[:, sl]))
+                hist = [h_of(rx)]
+                d0 = args.num_delay_samps
+                n_want = tx.samples.shape[-1]
+                for _ in range(args.doppler_frames - 1):
+                    b2 = session.backend.burst(np.asarray(tx.samples),
+                                               n_want + d0)
+                    if b2 is None:
+                        continue
+                    rx2 = cx.from_complex(
+                        jnp.asarray(b2.rx[..., d0 : d0 + n_want])
+                    )[..., pad_front:]
+                    hist.append(h_of(rx2))
+                t_train = tx.samples.shape[-1] / cfg.sample_rate
+                rd = radar.range_doppler_map(cx.stack(hist))
+                rb512 = np.linspace(
+                    0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate),
+                    cfg.fft_len * 8)
+                vest = radar.range_doppler_estimate(
+                    rd, jnp.asarray(rb512, jnp.float32),
+                    jnp.asarray(radar.velocity_axis(
+                        len(hist), t_train, cfg.center_freq)))
+                if bool(np.asarray(vest.detected)):
+                    print(f"  doppler train ({len(hist)} frames): "
+                          f"v={float(vest.velocity_mps):+.1f} m/s "
+                          f"@ {float(vest.range_m):.2f} m")
             state = jrc_trx.radar_state_update(state, est, background)
             last_map = ra_map
             if live_hm is not None:

@@ -332,6 +332,10 @@ def range_doppler_estimate(
     cell (the noise floor) AND ``clutter_rel_db`` relative to the strongest
     zero-Doppler cell — a purely static scene's windowed sidelobes
     (−31 dB) can tower over the median yet never pass the clutter gate.
+
+    Minimum detectable speed (the MTI blind zone) follows from the guard:
+    |v| ≥ (zero_doppler_guard+1)·λ / (2·n_doppler·T_dwell) — lengthen the
+    dwell train (more slow-time samples) to see slower targets.
     """
     n_dopp = rd_power.shape[-1]
     dc = n_dopp // 2
