@@ -22,6 +22,12 @@ def main(argv=None):
     p.add_argument("--demo", action="store_true")
     p.add_argument("--mcs", default="QPSK_3_4")
     p.add_argument("--payload-bytes", type=int, default=64)
+    p.add_argument("--dynamic", action="store_true",
+                   help="SIG-driven RX: discover each frame's MCS/length/"
+                        "type from its SIG field (mixed traffic); --mcs/"
+                        "--payload-bytes then only shape the demo capture")
+    p.add_argument("--max-payload", type=int, default=256,
+                   help="length envelope of the dynamic kernel")
     p.add_argument("--block-len", type=int, default=1 << 16)
     p.add_argument("--udp-out", type=int, default=0,
                    help="forward decoded payloads to this UDP port")
@@ -70,7 +76,9 @@ def main(argv=None):
 
         sink = UdpPduSink(args.udp_out)
 
-    streamer = BlockStreamer(cfg, spec, block_len=args.block_len, max_frames=32)
+    streamer = BlockStreamer(
+        cfg, None if args.dynamic else spec, block_len=args.block_len,
+        max_frames=32, max_payload=args.max_payload)
     chunk = 1 << 15
     for i in range(0, len(cap), chunk):
         streamer.push(cap[i : i + chunk])
@@ -91,9 +99,11 @@ def _report(res, sink):
     crc = np.asarray(res.crc_ok)
     snr = np.asarray(res.snr_db)
     payload = np.asarray(res.payload)
+    mcs = np.asarray(res.mcs) if hasattr(res, "mcs") else None
     for k in np.nonzero(valid)[0]:
+        extra = f" mcs={int(mcs[k])}" if mcs is not None else ""
         print(f"  frame @ {int(np.asarray(res.start)[k])}: crc={bool(crc[k])} "
-              f"snr={float(snr[k]):.1f} dB")
+              f"snr={float(snr[k]):.1f} dB{extra}")
         if sink is not None and crc[k]:
             sink.send(payload[k])
 
