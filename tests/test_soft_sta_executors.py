@@ -126,3 +126,44 @@ def test_sharded_soft_matches_unsharded():
     )
     assert int(np.asarray(shr.n_frames)) == nf
     assert int(np.asarray(shr.n_crc_ok)) == int(np.asarray(flat.crc_ok).sum())
+
+
+def test_sta_tracks_time_varying_multipath_where_ls_fails():
+    """The point of STA (lib/mimo_ofdm_equalizer_impl.cc:500-592): a second
+    propagation path whose complex gain rotates across the frame makes the
+    channel frequency-selective AND time-varying — pilot CPE can't fix it
+    (it's not a common phase) and the frame-initial LS estimate goes stale.
+    Decision-directed tracking follows it symbol by symbol."""
+    spec = FrameSpec(MCS.QAM16_3_4, payload_bytes=256, packet_type=PacketType.DATA)
+    rng = np.random.default_rng(1)
+    payload = jnp.asarray(
+        make_payload(spec, bytes([2]) + bytes(rng.integers(0, 256, 255).tolist()))
+    )
+    tx = comm_link.tx_frame(CFG, spec, payload, 1)
+    wave = np.asarray(
+        channel.comm_channel(tx.samples, angle_deg=0.0, path_loss=4.0,
+                             noise_var=0.0)
+    )
+    n = len(wave)
+    t = np.arange(n) / n
+    tap = 0.4 * np.exp(2j * np.pi * 0.25 * t)  # quarter-turn over the frame
+    delayed = np.zeros_like(wave)
+    delayed[6:] = wave[:-6]
+    rx = (wave + tap * delayed).astype(np.complex64)
+    rx += (rng.normal(0, np.sqrt(1e-4 / 2), (n, 2))
+           .astype(np.float32).view(np.complex64)[:, 0])
+    rxp = jnp.asarray(np.concatenate(
+        [rx, np.zeros(2 * CFG.n_sync_words * CFG.sym_len, np.complex64)]))
+
+    res_ls = comm_link.rx_chain(CFG, spec, rxp, estimator="ls")
+    res_sta = comm_link.rx_chain(CFG, spec, rxp, estimator="sta")
+    ref = np.asarray(payload, np.uint8)
+
+    def bit_errs(res):
+        pay = np.asarray(res.decoded.payload)
+        return int(np.unpackbits(pay ^ ref[: len(pay)]).sum())
+
+    assert not bool(np.asarray(res_ls.decoded.crc_ok))
+    assert bit_errs(res_ls) > 100
+    assert bool(np.asarray(res_sta.decoded.crc_ok))
+    assert bit_errs(res_sta) == 0
