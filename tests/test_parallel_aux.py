@@ -84,3 +84,45 @@ def test_throughput_counter():
     assert t.samples == 1000 and t.frames == 2
     assert t.samples_per_sec > 0
     assert "Msamp/s" in t.report()
+
+
+def test_checkpoint_resume_continues_jrc_loop_bit_exactly(tmp_path):
+    """Resume-from-snapshot must be indistinguishable from an uninterrupted
+    run: the JRCState npz is the complete cross-dwell state (the reference's
+    restart-survivable CSV side files, SURVEY §5)."""
+    from jrc_tpu.models import jrc_trx
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+    from jrc_tpu.config import MCS, PacketType
+
+    targets = channel.Targets((12.0,), (0.0,), (25.0,), (10.0,))
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=64, packet_type=PacketType.DATA)
+    payload = jnp.asarray(make_payload(spec, bytes([2]) + b"ckpt"))
+
+    def run(state, dwell_indices):
+        for d in dwell_indices:
+            r = jrc_trx.jrc_step(CFG, state, spec, payload, targets,
+                                 key=jax.random.PRNGKey(d), comm_noise_var=1e-4)
+            state = r.state
+        return state, r
+
+    # uninterrupted 4 dwells
+    s_ref, r_ref = run(jrc_trx.init_state(CFG), range(4))
+
+    # 2 dwells → snapshot → fresh process state → resume 2 more
+    s_half, _ = run(jrc_trx.init_state(CFG), range(2))
+    p = str(tmp_path / "jrc.npz")
+    state_io.save_state(p, s_half)
+    resumed = state_io.load_state(p, jrc_trx.init_state(CFG))
+    s_res, r_res = run(resumed, range(2, 4))
+
+    np.testing.assert_array_equal(np.asarray(s_ref.radar_angle),
+                                  np.asarray(s_res.radar_angle))
+    np.testing.assert_array_equal(np.asarray(s_ref.frame_count),
+                                  np.asarray(s_res.frame_count))
+    np.testing.assert_array_equal(np.asarray(s_ref.background.buffer.re),
+                                  np.asarray(s_res.background.buffer.re))
+    assert bool(np.asarray(r_res.comm.decoded.crc_ok)) == \
+        bool(np.asarray(r_ref.comm.decoded.crc_ok))
+    np.testing.assert_array_equal(np.asarray(r_ref.comm.decoded.payload),
+                                  np.asarray(r_res.comm.decoded.payload))
