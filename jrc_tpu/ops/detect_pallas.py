@@ -14,9 +14,10 @@ coarse-CFO readout).
 Layout: the stream is viewed as (rows, 128) with 128 consecutive samples
 per row — one row per candidate segment (sync.SEG == 128). A trailing-window
 shift by k becomes two circular rolls + a lane select; moving sums build by
-binary doubling. Each grid step processes CHUNK_ROWS rows, fetching a
-4-row (512-sample) left margin by DMA — deeper than the worst-case lookback
-of the trigger chain (432 samples) — so no cross-chunk carry is needed.
+binary doubling. Each grid step processes CHUNK_ROWS rows, fetching a left
+margin by DMA sized to the trigger chain's worst-case lookback (432 samples
+→ 4 rows for the default fft_len=64 numerology; derived per parameters) —
+so no cross-chunk carry is needed.
 
 CPU / interpreter fallback: the XLA formulation in ops/sync.py.
 """
@@ -32,8 +33,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-MARGIN_ROWS = 4  # 512 samples ≥ the 432-sample worst-case lookback
 CHUNK_ROWS = 512
+
+
+def _margin_rows(lag: int, win: int, pwin: int, max_peak_distance: int) -> int:
+    """DMA margin (rows) covering the trigger chain's worst-case lookback:
+    the sparsify stage reads the mask back max_peak_distance−1 samples, the
+    mask's peaks_in_window another max_peak_distance−1, the autocorrelation
+    max(win+lag, pwin)−1 more. 4 rows (512 samples ≥ 432) for the default
+    fft_len=64 numerology; derived, not fixed, so larger numerologies
+    (e.g. fft_len=128 → 733 samples) stay correct."""
+    lookback = 2 * (max_peak_distance - 1) + max(win + lag, pwin) - 1
+    return -(-lookback // LANE)
 
 
 def _shift_r(arr, k: int):
@@ -72,17 +83,17 @@ def _moving_sum(x, win: int):
 
 
 def _detect_kernel(xr_ref, xi_ref, are_ref, aim_ref, first_ref, count_ref,
-                   *, chunk_rows: int, n_chunks: int,
+                   *, chunk_rows: int, n_chunks: int, margin_rows: int,
                    threshold: float, min_n_peaks: int,
                    max_peak_distance: int, lag: int, win: int, pwin: int):
     i = pl.program_id(0)
 
-    # the wrapper top-pads the stream with MARGIN_ROWS zero rows, so the
-    # fetch of [i·chunk, i·chunk + chunk + MARGIN) padded rows is always in
+    # the wrapper top-pads the stream with margin_rows zero rows, so the
+    # fetch of [i·chunk, i·chunk + chunk + margin) padded rows is always in
     # bounds and chunk 0 sees the zero history the XLA form assumes
     def fetch(dst, src, sem):
         return pltpu.make_async_copy(
-            src.at[pl.ds(i * chunk_rows, chunk_rows + MARGIN_ROWS)],
+            src.at[pl.ds(i * chunk_rows, chunk_rows + margin_rows)],
             dst,
             sem,
         )
@@ -113,7 +124,7 @@ def _detect_kernel(xr_ref, xi_ref, are_ref, aim_ref, first_ref, count_ref,
         recent = _moving_sum(trigf, max_peak_distance)
         trig = trig & (recent - trigf == 0.0)
 
-        sl = slice(MARGIN_ROWS, MARGIN_ROWS + chunk_rows)
+        sl = slice(margin_rows, margin_rows + chunk_rows)
         are_ref[:, :] = are[sl]
         aim_ref[:, :] = aim[sl]
         lane = jax.lax.broadcasted_iota(jnp.int32, trig.shape, 1)
@@ -127,8 +138,8 @@ def _detect_kernel(xr_ref, xi_ref, are_ref, aim_ref, first_ref, count_ref,
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((chunk_rows + MARGIN_ROWS, LANE), jnp.float32),
-        pltpu.VMEM((chunk_rows + MARGIN_ROWS, LANE), jnp.float32),
+        pltpu.VMEM((chunk_rows + margin_rows, LANE), jnp.float32),
+        pltpu.VMEM((chunk_rows + margin_rows, LANE), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -153,16 +164,18 @@ def detect_front_end(
     float summation order in the moving sums.
     """
     n = xr.shape[-1]
+    margin_rows = _margin_rows(lag, win, pwin, max_peak_distance)
     n_rows = -(-n // LANE)
     n_chunks = -(-n_rows // CHUNK_ROWS)
     rows_pad = n_chunks * CHUNK_ROWS
     pad = rows_pad * LANE - n
-    margin = MARGIN_ROWS * LANE
-    xr = jnp.pad(xr, (margin, pad)).reshape(rows_pad + MARGIN_ROWS, LANE)
-    xi = jnp.pad(xi, (margin, pad)).reshape(rows_pad + MARGIN_ROWS, LANE)
+    margin = margin_rows * LANE
+    xr = jnp.pad(xr, (margin, pad)).reshape(rows_pad + margin_rows, LANE)
+    xi = jnp.pad(xi, (margin, pad)).reshape(rows_pad + margin_rows, LANE)
 
     kernel = partial(
         _detect_kernel, chunk_rows=CHUNK_ROWS, n_chunks=n_chunks,
+        margin_rows=margin_rows,
         threshold=threshold, min_n_peaks=min_n_peaks,
         max_peak_distance=max_peak_distance, lag=lag, win=win, pwin=pwin,
     )

@@ -70,6 +70,10 @@ def gather_rows(
     """
     n = x.shape[-1]
     b = starts.shape[0]
+    if n < width:
+        raise ValueError(
+            f"gather_rows: stream length {n} < requested width {width} — "
+            "jnp.clip would drive the DMA from a negative offset")
     starts = jnp.clip(starts.astype(jnp.int32), 0, n - width)
 
     if jax.default_backend() == "cpu" and not interpret:

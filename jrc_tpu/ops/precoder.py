@@ -202,6 +202,10 @@ def _stream_grids(
     grid0 = allocate_carriers(cfg, data_syms, pilot_row0=0)
     if not use_radar_streams:
         return grid0[None]
+    if rng_key is None:
+        raise ValueError(
+            "use_radar_streams=True needs an rng_key (the radar streams are "
+            "random QPSK, lib/mimo_precoder_impl.cc:434-493)")
     n_extra = cfg.n_tx - 1
     n_sym = data_syms.shape[-2]
     n_active = cfg.n_data_carriers + cfg.n_pilot_carriers

@@ -299,7 +299,9 @@ def range_doppler_map(
     # static/clutter ridge's sidelobes (−31 dB vs rectangular −13 dB) don't
     # masquerade as moving targets
     st = ranges.transpose((1, 2, 0))  # (n_virt, n_range, n_dwells)
-    win = jnp.asarray(np.hanning(n_dwells).astype(np.float32))
+    # periodic Hann (endpoint dropped): the symmetric form zero-weights the
+    # first and last dwell — 25% of an 8-dwell train's integration lost
+    win = jnp.asarray(np.hanning(n_dwells + 1)[:-1].astype(np.float32))
     st = st * win
     dopp = cx.apply_dft(st, _doppler_mats(n_dwells, interp_factor_doppler))
     # (n_virt, n_range, n_dopp) → noncoherent sum → (n_range, n_doppler)

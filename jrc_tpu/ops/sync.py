@@ -32,6 +32,8 @@ import numpy as np
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import cplx as cx
 
+SEG = 128  # candidate-extraction segment (must stay < max_peak_distance)
+
 
 def _shift_right(x: jax.Array, k: int) -> jax.Array:
     """x delayed by k samples along the last axis, zeros shifted in."""
@@ -182,14 +184,13 @@ def detect_frames(
     # a small sort to compact — NOT top_k over the block and NOT a
     # rank-scatter, both measured as the hottest ops of the RX chain on TPU
     # (sort-based TopK ~10 ms, data-dependent scatter ~16 ms per batch).
-    seg = 128
-    assert max_peak_distance > seg
-    n_seg = -(-n // seg)
-    tpad = jnp.pad(trigger, [(0, 0)] * (trigger.ndim - 1) + [(0, n_seg * seg - n)])
-    tseg = tpad.reshape(*trigger.shape[:-1], n_seg, seg)
+    assert max_peak_distance > SEG
+    n_seg = -(-n // SEG)
+    tpad = jnp.pad(trigger, [(0, 0)] * (trigger.ndim - 1) + [(0, n_seg * SEG - n)])
+    tseg = tpad.reshape(*trigger.shape[:-1], n_seg, SEG)
     seg_has = jnp.any(tseg, axis=-1)
     seg_first = jnp.argmax(tseg, axis=-1).astype(jnp.int32)
-    seg_base = jnp.arange(n_seg, dtype=jnp.int32) * seg
+    seg_base = jnp.arange(n_seg, dtype=jnp.int32) * SEG
     cand_all = jnp.where(seg_has, seg_base + seg_first, n)
     k_cand = max_frames * 4
     cand = jnp.sort(cand_all, axis=-1)[..., :k_cand]  # ascending positions
@@ -209,9 +210,6 @@ def detect_frames(
     return Detections(
         start=starts, coarse_cfo=cfo, valid=valid, n_candidates=n_candidates
     )
-
-
-SEG = 128  # candidate-extraction segment (must stay < max_peak_distance)
 
 
 def detect_frames_stream(
