@@ -161,7 +161,12 @@ class BlockStreamer:
             yield self._finalize(self._pending.popleft())
 
     def flush(self) -> Iterator[block_rx.BlockRxResult]:
-        """Zero-pad the tail so trailing partial data forms a final block."""
+        """Zero-pad the tail so trailing partial data forms a final block.
+
+        Drains complete superblocks FIRST — computing the pad before
+        draining would miss it when more than one superblock is buffered
+        and silently drop the residual tail."""
+        yield from self.process_available()
         missing = self.span + self.halo - self.ring.available()
         if 0 < missing <= self.span + self.halo:
             self.ring.push(np.zeros(missing, np.complex64))

@@ -99,8 +99,8 @@ def radar_frame(
     ra = radar.range_angle_map(h, interp_factor_range, interp_factor_angle)
     est = radar.range_angle_estimate(
         ra,
-        jnp.asarray(np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate),
-                                cfg.fft_len * interp_factor_range), jnp.float32),
+        jnp.asarray(radar.range_axis(cfg.fft_len, cfg.sample_rate,
+                                     interp_factor_range)),
         jnp.asarray(cfg.angle_axis(interp_factor_angle), jnp.float32),
         snr_threshold_db=snr_threshold_db,
     )

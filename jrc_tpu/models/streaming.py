@@ -106,9 +106,9 @@ def _viterbi_backend(name: str):
     'scan' is safe everywhere (incl. under vmap/shard_map and on CPU);
     'pallas' is the single-kernel TPU fast path and must be called on a flat
     batch at the top level; 'auto' picks pallas iff the default backend is a
-    TPU (axon)."""
+    TPU (incl. axon) — a GPU backend falls back to scan."""
     if name == "auto":
-        name = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+        name = "pallas" if cx.on_tpu() else "scan"
     if name == "pallas":
         from jrc_tpu.ops.viterbi_pallas import viterbi_decode_pallas
 
@@ -330,7 +330,8 @@ class DynBlockRxResult(NamedTuple):
 def frame_window_samples_dynamic(cfg: OFDMConfig, max_payload: int) -> int:
     """Samples needed from a trigger for the worst-case dynamic frame
     (BPSK-1/2 at max_payload)."""
-    n_sym = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
+    n_sym = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(
+        max_payload, cfg.n_data_carriers)
     sync_length = cfg.n_sync_words * cfg.sym_len
     return sync_length + 2 * cfg.fft_len + (n_sym - 2) * cfg.sym_len + cfg.fft_len
 
@@ -402,7 +403,8 @@ def flat_rx_dynamic(
     owned = det.valid
     trig_flat = jnp.where(owned, det.start, 0).reshape(-1)
     cfo_flat = det.coarse_cfo.reshape(-1)
-    n_sym_total = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(max_payload)
+    n_sym_total = 2 + 1 + cfg.n_ltf + dynamic_rx.max_symbols(
+        max_payload, cfg.n_data_carriers)
     syms, total_cfo, _found = sync.extract_frames_batch(
         cfg, xp, trig_flat, cfo_flat, n_sym_total
     )

@@ -238,6 +238,16 @@ def is_carray(x) -> bool:
     return isinstance(x, CArray)
 
 
+TPU_BACKENDS = ("tpu", "axon")  # backends the Pallas TPU kernels target
+
+
+def on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon tunnel) —
+    the gate for the Pallas fast paths; any other backend (cpu, gpu) takes
+    the XLA formulations."""
+    return jax.default_backend() in TPU_BACKENDS
+
+
 def from_complex(x) -> CArray:
     """numpy/jax complex (or real, or CArray) → CArray float32 pair."""
     if isinstance(x, CArray):

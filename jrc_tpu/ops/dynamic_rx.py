@@ -71,25 +71,26 @@ def frame_geometry(mcs_idx, data_size_byte, n_data_carriers: int = 48):
     return n_sym, n_sym * dbps
 
 
-def max_trellis_bits(max_payload: int) -> int:
+def max_trellis_bits(max_payload: int, n_data_carriers: int = 48) -> int:
     """Static trellis length covering every MCS branch's envelope (the
     per-branch symbol capacity rounds up differently per n_dbps)."""
     from jrc_tpu.config import MCSParams
 
     max_bytes = max_payload + 4
     return max(
-        math.ceil((16 + 8 * max_bytes + 6) / MCSParams(m).n_dbps)
-        * MCSParams(m).n_dbps
+        math.ceil((16 + 8 * max_bytes + 6) / MCSParams(m, n_data_carriers).n_dbps)
+        * MCSParams(m, n_data_carriers).n_dbps
         for m in MCS
     )
 
 
 def payload_values_dynamic(
-    z: jax.Array,  # (max_n_sym, 48) equalized symbols (masked beyond frame)
+    z: jax.Array,  # (max_n_sym, n_dc) equalized symbols (masked beyond frame)
     mcs_idx: jax.Array,
     data_size_byte: jax.Array,
     max_payload: int,
     soft: bool = False,
+    n_data_carriers: int = 48,
 ) -> jax.Array:
     """lax.switch over the 6 MCS: demod → depuncture, each branch padding
     its depunctured values with erasures to the shared
@@ -99,17 +100,18 @@ def payload_values_dynamic(
     per-branch decode would find (zero-cost steps never change it).
     ``soft=True`` feeds max-log-MAP LLRs instead of ±1 hard values."""
     max_bytes = max_payload + 4
-    t_max = max_trellis_bits(max_payload)
+    t_max = max_trellis_bits(max_payload, n_data_carriers)
 
     def branch(mcs: MCS):
         from jrc_tpu.config import MCSParams
 
-        mp = MCSParams(mcs)
+        mp = MCSParams(mcs, n_data_carriers)
         branch_max_sym = math.ceil((16 + 8 * max_bytes + 6) / mp.n_dbps)
         branch_max_bits = branch_max_sym * mp.n_dbps
 
         def run(z_in, n_bytes):
-            _n_sym, n_data_bits = frame_geometry(jnp.int32(int(mcs)), n_bytes)
+            _n_sym, n_data_bits = frame_geometry(
+                jnp.int32(int(mcs)), n_bytes, n_data_carriers)
             zz = z_in[:branch_max_sym].reshape(-1)
             if soft:
                 chan_values = modulation.soft_llr(zz, mcs)
@@ -187,7 +189,7 @@ def rx_frame_dynamic_values(
 ) -> DynamicPre:
     """Sync + equalize + demod one frame with SIG-discovered parameters,
     stopping before the Viterbi pass."""
-    max_n_sym = max_symbols(max_payload)
+    max_n_sym = max_symbols(max_payload, cfg.n_data_carriers)
     n_sym_total = 2 + 1 + cfg.n_ltf + max_n_sym
 
     syms_t, total_cfo, _found = sync.extract_frame(
@@ -211,7 +213,7 @@ def rx_frame_dynamic_values_from_syms(
     """SIG decode + equalize + demod from already-extracted symbols (the
     batching executor extracts all frames at once; see
     sync.extract_frames_batch)."""
-    max_n_sym = max_symbols(max_payload)
+    max_n_sym = max_symbols(max_payload, cfg.n_data_carriers)
     grid = ofdm.fft_symbols(cfg, syms_t)
     grid = equalizer.sampling_offset_compensate(cfg, grid, total_cfo)
 
@@ -227,7 +229,7 @@ def rx_frame_dynamic_values_from_syms(
     mcs_idx = jnp.asarray(_RATE_LUT)[jnp.clip(rate_bitmap, 0, 15)]
     sig_ok = sig_ok & jnp.asarray(_RATE_VALID)[jnp.clip(rate_bitmap, 0, 15)]
     length = jnp.clip(length, 4, max_payload + 4)
-    n_sym, _ = frame_geometry(mcs_idx, length)
+    n_sym, _ = frame_geometry(mcs_idx, length, cfg.n_data_carriers)
 
     # MIMO-LTF: both estimates, runtime-selected by packet type
     y_ltf = grid[3 : 3 + cfg.n_ltf]
@@ -311,7 +313,9 @@ def rx_frame_dynamic_values_from_syms(
             (y_data, refs, jnp.arange(max_n_sym)),
         )
 
-    values = payload_values_dynamic(z, mcs_idx, length, max_payload, soft=soft)
+    values = payload_values_dynamic(
+        z, mcs_idx, length, max_payload, soft=soft,
+        n_data_carriers=cfg.n_data_carriers)
     return DynamicPre(
         values=values,
         mcs=mcs_idx,

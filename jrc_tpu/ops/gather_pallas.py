@@ -76,7 +76,7 @@ def gather_rows(
             "jnp.clip would drive the DMA from a negative offset")
     starts = jnp.clip(starts.astype(jnp.int32), 0, n - width)
 
-    if jax.default_backend() == "cpu" and not interpret:
+    if not cx.on_tpu() and not interpret:
         return jax.vmap(
             lambda s: cx.dynamic_slice_in_dim(x, s, width, axis=-1)
         )(starts)

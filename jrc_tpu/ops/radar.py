@@ -104,6 +104,20 @@ def _angle_mats(n_virt: int, interp: int):
     return cx.dft_mats(n_virt, n_virt * interp, shift_out=True, norm="backward")
 
 
+def range_axis(fft_len: int, sample_rate: float,
+               interp_factor_range: int = 8) -> np.ndarray:
+    """Range bins of the interpolated range IFFT.
+
+    Inclusive-endpoint linspace(0, c·fft_len/(2·fs), fft_len·ir) — exactly
+    the reference radar-sim flowgraph's range_axis variable (its GUI and
+    range_angle_estimator consume the same grid), kept for parity even
+    though the IFFT's natural bin spacing is r_max/N rather than
+    r_max/(N−1) (a 0.2% scale difference at ir=8).
+    """
+    r_max = C_LIGHT * fft_len / (2.0 * sample_rate)
+    return np.linspace(0, r_max, fft_len * interp_factor_range).astype(np.float32)
+
+
 def range_angle_map(
     h: cx.CArray,  # (n_virt, fft_len) channel estimate (rx-major rows)
     interp_factor_range: int = 8,

@@ -250,7 +250,7 @@ def detect_frames_stream(
     assert max_peak_distance > SEG
     n_seg = -(-n // SEG)
 
-    if jax.default_backend() != "cpu":
+    if cx.on_tpu():
         # fused single-pass Pallas front-end (autocorr → mask → trigger →
         # per-segment candidates, all intermediates VMEM-resident)
         from jrc_tpu.ops.detect_pallas import detect_front_end

@@ -21,10 +21,14 @@ def init_distributed(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         return
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:  # explicit rank 0 must not fall through to env
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

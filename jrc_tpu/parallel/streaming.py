@@ -35,7 +35,7 @@ from jax import shard_map
 
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import streaming as block_rx
-from jrc_tpu.ops import cplx as cx
+from jrc_tpu.ops import cplx as cx, sync
 from jrc_tpu.ops.encoder import FrameSpec
 
 
@@ -117,7 +117,7 @@ def _build_sharded_rx(
         )
         x_ext = cx.concatenate([left_halo, x_local, right_halo], axis=-1)
         t = jax.lax.axis_index("time").astype(jnp.int32)
-        flat_ok = block_len % 128 == 0  # sync.SEG alignment
+        flat_ok = block_len % sync.SEG == 0
         if dynamic:
             if flat_ok:
                 res = block_rx.flat_rx_dynamic(

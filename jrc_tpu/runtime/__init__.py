@@ -97,6 +97,7 @@ class IQRing:
             self._head = 0
             self._pos = 0
             self._dropped = 0
+            self._hist_keep = 0  # left-history reservation (set by pop_block)
             self._h = None
 
     @property
@@ -108,7 +109,11 @@ class IQRing:
         if self._h is not None:
             return int(self._lib.jrc_ring_push(
                 self._h, _as_float_ptr(x.view(np.float32)), len(x)))
-        free = self.capacity - (self._head - self._pos)
+        # reserve the consumer's left-history region, like the native ring
+        # (jrc_runtime.cc tail = consumer_pos - left_hist): without it a
+        # full ring overwrites samples a later pop re-reads as history
+        tail = max(self._pos - self._hist_keep, 0)
+        free = self.capacity - (self._head - tail)
         n = min(len(x), free)
         self._dropped += len(x) - n
         idx = self._head % self.capacity
@@ -139,9 +144,9 @@ class IQRing:
             return out if ok else None
         if self._head - self._pos < block_len + halo:
             return None
-        for i in range(n_out):
-            pos = self._pos - left_hist + i
-            out[i] = self._buf[pos % self.capacity] if pos >= 0 else 0
+        self._hist_keep = max(self._hist_keep, left_hist)
+        idx = self._pos - left_hist + np.arange(n_out)
+        out[:] = np.where(idx >= 0, self._buf[idx % self.capacity], 0)
         self._pos += block_len
         return out
 
