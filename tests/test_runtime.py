@@ -124,3 +124,59 @@ def test_block_streamer_end_to_end():
         pass
     assert streamer.stats.crc_ok == n_frames
     assert streamer.stats.dropped_samples == 0
+
+
+def test_fallback_ring_preserves_history_across_wrap(monkeypatch):
+    """numpy-fallback ring: the consumer's left-history region must survive
+    a producer filling the ring to capacity (the native ring reserves it;
+    the fallback now does too)."""
+    import jrc_tpu.runtime as rt
+
+    monkeypatch.setattr(rt, "_lib", None)
+    monkeypatch.setattr(rt, "_lib_err", "forced-fallback")
+    r = rt.IQRing(16)
+    assert not r.native
+    x = (np.arange(1, 100) + 0j).astype(np.complex64)
+    assert r.push(x[:16]) == 16          # fill
+    b = r.pop_block(8, 0, 4)             # consume 8, history=4 registered
+    np.testing.assert_array_equal(b[4:].real, np.arange(1, 9))
+    pushed = r.push(x[16:32])            # refill — must NOT clobber 5..8
+    assert pushed <= 12                  # 4 history slots stay reserved
+    b2 = r.pop_block(8, 0, 4)
+    np.testing.assert_array_equal(b2[:4].real, np.arange(5, 9))  # true history
+    np.testing.assert_array_equal(b2[4:].real, np.arange(9, 17))
+
+
+def test_streamer_flush_drains_multiple_buffered_superblocks():
+    """flush() after pushing several superblocks without interleaved
+    processing must recover every frame (the old pad-first order dropped
+    the residual tail)."""
+    import jax.numpy as jnp
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.io.stream import BlockStreamer
+    from jrc_tpu.models import comm_link
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+
+    cfg = OFDMConfig()
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=48, packet_type=PacketType.DATA)
+    payload = jnp.asarray(make_payload(spec, bytes([2]) + b"flush"))
+    frame = np.asarray(channel.comm_channel(
+        comm_link.tx_frame(cfg, spec, payload, 1).samples,
+        angle_deg=0.0, path_loss=5.0, noise_var=0.0))
+
+    block_len = 1 << 13
+    s = BlockStreamer(cfg, spec, block_len=block_len, max_frames=8,
+                      ring_capacity=8 * block_len)
+    # 2.5 superblocks of data with frames throughout, pushed all at once
+    n = int(2.5 * block_len)
+    cap = np.zeros(n, np.complex64)
+    pos, nf = 600, 0
+    while pos + len(frame) < n - 100:
+        cap[pos : pos + len(frame)] += frame
+        pos += len(frame) + 900
+        nf += 1
+    s.push(cap)
+    results = list(s.flush())  # no process_available() beforehand
+    assert s.stats.crc_ok == nf, (s.stats.crc_ok, nf)
