@@ -49,6 +49,10 @@ def main(argv=None):
     spec = FrameSpec(MCS[args.mcs], payload_bytes=args.payload_bytes,
                      packet_type=PacketType.DATA)
 
+    if args.dynamic and args.payload_bytes > args.max_payload:
+        p.error(f"--payload-bytes {args.payload_bytes} exceeds the dynamic "
+                f"kernel's --max-payload {args.max_payload} envelope — such "
+                "frames can never decode")
     if args.demo:
         from jrc_tpu.models import comm_link
         from jrc_tpu.ops import channel

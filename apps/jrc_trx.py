@@ -89,13 +89,14 @@ def main(argv=None):
 
     state = jrc_trx.init_state(cfg)
     rlog, clog = RadarLog(args.radar_log), CommLog(args.comm_log)
+    h_of_cache = {}
     live_hm = live_tp = None
     if args.live:
         from jrc_tpu.viz.live import LiveHeatmap, LiveTimePlot
 
-        rb0 = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
         if args.heatmap:
-            live_hm = LiveHeatmap(rb0, cfg.angle_axis(16), path=args.heatmap)
+            live_hm = LiveHeatmap(radar.range_axis(cfg.fft_len, cfg.sample_rate),
+                                  cfg.angle_axis(16), path=args.heatmap)
         live_tp = LiveTimePlot(path="jrc_metrics.png")
     last_map = None
     n_ok = 0
@@ -132,8 +133,13 @@ def main(argv=None):
                            cfg.n_sync_words + 1 + cfg.n_ltf)
                 x_sl = tx.grid.swapaxes(0, 1)[:, sl]
                 n_sym_tot = tx.grid.shape[0]
-                h_of = jax.jit(lambda r: radar.radar_channel_estimate(
-                    x_sl, ofdm.ofdm_demodulate(cfg, r, n_sym_tot)[:, sl]))
+                key_shape = (n_sym_tot, tx.samples.shape[-1])
+                if key_shape not in h_of_cache:  # one compile per geometry
+                    h_of_cache[key_shape] = jax.jit(
+                        lambda r, x_sl=x_sl, n=n_sym_tot: radar.
+                        radar_channel_estimate(
+                            x_sl, ofdm.ofdm_demodulate(cfg, r, n)[:, sl]))
+                h_of = h_of_cache[key_shape]
                 hist = [h_of(rx)]
                 d0 = args.num_delay_samps
                 n_want = tx.samples.shape[-1]
@@ -141,24 +147,36 @@ def main(argv=None):
                     b2 = session.backend.burst(np.asarray(tx.samples),
                                                n_want + d0)
                     if b2 is None:
-                        continue
+                        # a gap breaks slow-time coherence: stop the train
+                        # rather than FFT non-uniform samples
+                        print("  doppler train aborted: RX deadline miss")
+                        break
                     rx2 = cx.from_complex(
                         jnp.asarray(b2.rx[..., d0 : d0 + n_want])
                     )[..., pad_front:]
                     hist.append(h_of(rx2))
                 t_train = tx.samples.shape[-1] / cfg.sample_rate
                 rd = radar.range_doppler_map(cx.stack(hist))
-                rb512 = np.linspace(
-                    0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate),
-                    cfg.fft_len * 8)
                 vest = radar.range_doppler_estimate(
-                    rd, jnp.asarray(rb512, jnp.float32),
+                    rd, jnp.asarray(radar.range_axis(cfg.fft_len,
+                                                     cfg.sample_rate)),
                     jnp.asarray(radar.velocity_axis(
                         len(hist), t_train, cfg.center_freq)))
                 if bool(np.asarray(vest.detected)):
+                    v = float(vest.velocity_mps)
+                    blind = float(vest.blind_zone_mps)
+                    v_bin = float(np.asarray(radar.velocity_axis(
+                        len(hist), t_train, cfg.center_freq))[1]
+                        - np.asarray(radar.velocity_axis(
+                            len(hist), t_train, cfg.center_freq))[0])
+                    note = ""
+                    if abs(v) <= blind + 0.5 * v_bin:
+                        note = (f"  [at MTI blind-zone edge (|v| < "
+                                f"{blind:.1f} m/s unresolved) — lengthen "
+                                f"--doppler-frames]")
                     print(f"  doppler train ({len(hist)} frames): "
-                          f"v={float(vest.velocity_mps):+.1f} m/s "
-                          f"@ {float(vest.range_m):.2f} m")
+                          f"v={v:+.1f} m/s @ {float(vest.range_m):.2f} m"
+                          + note)
             state = jrc_trx.radar_state_update(state, est, background)
             last_map = ra_map
             if live_hm is not None:
@@ -202,9 +220,9 @@ def main(argv=None):
         msg += f" steer_angle={float(np.asarray(state.radar_angle)):.1f}"
         print(msg)
     if last_map is not None and args.heatmap:
-        rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
         power = np.asarray(jax.jit(cx.abs2)(last_map))
-        render_heatmap(power, rb, cfg.angle_axis(16), path=args.heatmap)
+        render_heatmap(power, radar.range_axis(cfg.fft_len, cfg.sample_rate),
+                       cfg.angle_axis(16), path=args.heatmap)
     print(f"bursts={session.n_bursts} tx_only={session.n_tx_only} "
           f"missed={session.n_missed}; "
           f"PER: {100.0 * (1 - n_ok / max(n_data, 1)):.1f}% "

@@ -70,8 +70,8 @@ def main(argv=None):
     if args.live and args.heatmap:
         from jrc_tpu.viz.live import LiveHeatmap
 
-        rb = np.linspace(0, channel.C_LIGHT * cfg.fft_len / (2 * cfg.sample_rate), 512)
-        live = LiveHeatmap(rb, cfg.angle_axis(16), path=args.heatmap)
+        live = LiveHeatmap(radar.range_axis(cfg.fft_len, cfg.sample_rate),
+                           cfg.angle_axis(16), path=args.heatmap)
     last = None
     for d in range(args.dwells):
         res = radar_chain.radar_frame(

@@ -328,6 +328,7 @@ class RangeDopplerEstimate(NamedTuple):
     power: jax.Array
     snr_db: jax.Array
     detected: jax.Array
+    blind_zone_mps: jax.Array  # MTI minimum detectable |v| (guard edge)
 
 
 def range_doppler_estimate(
@@ -367,10 +368,13 @@ def range_doppler_estimate(
                               / jnp.maximum(noise, 1e-30))
     rel_db = 10.0 * jnp.log10(jnp.maximum(peak, 1e-30)
                               / jnp.maximum(clutter, 1e-30))
+    blind = jnp.abs(jnp.asarray(velocity_bins)[
+        jnp.minimum(dc + zero_doppler_guard + 1, n_dopp - 1)])
     return RangeDopplerEstimate(
         range_m=jnp.asarray(range_bins)[ri],
         velocity_mps=jnp.asarray(velocity_bins)[di],
         power=peak,
         snr_db=snr_db,
         detected=(snr_db >= snr_threshold_db) & (rel_db >= clutter_rel_db),
+        blind_zone_mps=blind,
     )

@@ -13,8 +13,9 @@ on-disk formats for interop and offline analysis:
 * chan est  — ``sc_idx:(re,im);(re,im);...`` per subcarrier
   (lib/mimo_ofdm_equalizer_impl.cc:378-416 / parsed at
   lib/mimo_precoder_impl.cc:795-840)
-* radar channel capture — full (sc, tx·rx) complex tensor
-  (lib/mimo_ofdm_radar_impl.cc:348-387), plus a fast npz variant.
+* radar channel capture — the full channel-major (n_tx·n_rx, fft_len)
+  complex tensor (lib/mimo_ofdm_radar_impl.cc:348-387), plus a fast npz
+  variant.
 """
 from __future__ import annotations
 
@@ -120,9 +121,12 @@ def append_radar_capture_csv(
     ``radar_chan_est`` buffer map.
     """
     chan = np.asarray(chan)
+    if chan.shape != (n_tx * n_rx, chan.shape[-1]):
+        raise ValueError(
+            f"chan must be channel-major (n_tx·n_rx, fft_len); got "
+            f"{chan.shape} for n_tx={n_tx}, n_rx={n_rx}")
     fft_len = chan.shape[-1]
     flat = chan.reshape(-1)
-    assert flat.size == n_tx * n_rx * fft_len, (chan.shape, n_tx, n_rx)
     ts = timestamp if timestamp is not None else _now_hms_ms()
     cells = ";".join(f"({v.real:.9g},{v.imag:.9g})" for v in flat)
     with open(path, "a") as fh:
@@ -147,12 +151,15 @@ def read_radar_capture_csv(path: str):
             try:
                 ts, n_tx_s, n_rx_s, fft_s = (p.strip() for p in head.split(","))
                 n_tx, n_rx, fft_len = int(n_tx_s), int(n_rx_s), int(fft_s)
+                cells = [c for c in rest.strip().split(";") if c.strip()]
+                vals = np.array(
+                    [complex(*(float(p) for p in c.strip("() \n").split(",")))
+                     for c in cells], np.complex64,
+                )
+                out.append((ts, n_tx, n_rx, vals.reshape(n_tx * n_rx, fft_len)))
             except ValueError:
-                continue  # malformed header — skip, keep parsing the rest
-            cells = [c for c in rest.strip().split(";") if c.strip()]
-            vals = np.array(
-                [complex(*(float(p) for p in c.strip("() \n").split(",")))
-                 for c in cells], np.complex64,
-            )
-            out.append((ts, n_tx, n_rx, vals.reshape(n_tx * n_rx, fft_len)))
+                # malformed header, truncated cell list (reader racing the
+                # appender), or wrong cell count — skip the record, keep
+                # every parseable one
+                continue
     return out

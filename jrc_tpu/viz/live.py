@@ -10,9 +10,9 @@ newest at its own cadence. These classes keep exactly that contract:
   buffer (maps) or appends to the sliding window (metrics) and never draws;
 * ``tick(now)`` redraws only when ``refresh_interval_s`` has elapsed since
   the last draw — pushes in between are coalesced, like QTimer frames;
-* with a display the draw goes to an interactive matplotlib window; headless
-  (the normal case here) each refresh atomically rewrites a PNG, so
-  ``watch -n0.1`` / any file viewer becomes the live display.
+* each refresh atomically rewrites a PNG, so ``watch -n0.1`` / any image
+  viewer that reloads on change becomes the live display (matplotlib runs
+  headless on Agg; no GUI event loop is required or used).
 """
 from __future__ import annotations
 
@@ -28,6 +28,8 @@ from jrc_tpu.viz.timeplot import TimeSeries
 
 class _LiveBase:
     def __init__(self, refresh_interval_s: float = 0.25, path: str | None = None):
+        if not path:
+            raise ValueError("live views need an output PNG path")
         self.refresh_interval_s = refresh_interval_s
         self.path = path
         self.n_pushed = 0
@@ -46,11 +48,16 @@ class _LiveBase:
         with self._lock:
             if now - self._last_draw < self.refresh_interval_s:
                 return False
-            drew = self._draw()
-            if drew:
-                self._last_draw = now
-                self.n_drawn += 1
-        return drew
+            snap = self._snapshot()  # grabs + clears dirty state, cheap
+            if snap is None:
+                return False
+            # claim the interval inside the lock so a concurrent tick
+            # cannot double-draw; the actual render runs OUTSIDE it so
+            # push() never blocks behind matplotlib
+            self._last_draw = now
+            self.n_drawn += 1
+        self._render(snap)
+        return True
 
     def run(self, stop: threading.Event, poll_s: float = 0.02):
         """Refresh loop (the QTimer thread): tick until ``stop`` is set."""
@@ -66,7 +73,12 @@ class _LiveBase:
         fig.savefig(tmp, dpi=110, bbox_inches="tight")
         os.replace(tmp, self.path)
 
-    def _draw(self) -> bool:  # pragma: no cover - overridden
+    def _snapshot(self):  # pragma: no cover - overridden
+        """Under the lock: return the data to render (clearing dirty
+        state), or None when there is nothing new."""
+        raise NotImplementedError
+
+    def _render(self, snap) -> None:  # pragma: no cover - overridden
         raise NotImplementedError
 
 
@@ -93,21 +105,24 @@ class LiveHeatmap(_LiveBase):
             self._dirty = True
             self.n_pushed += 1
 
-    def _draw(self) -> bool:
+    def _snapshot(self):
         if self._latest is None or not self._dirty:
-            return False
+            return None
+        self._dirty = False
+        return (self._latest, self.n_pushed)
+
+    def _render(self, snap) -> None:
         import matplotlib.pyplot as plt
 
-        latest = self._latest() if callable(self._latest) else self._latest
+        latest, n = snap
+        latest = latest() if callable(latest) else latest
         fig = render_heatmap(
             latest, self.range_bins, self.angle_bins,
-            title=f"Range-Angle Map (frame {self.n_pushed})",
+            title=f"Range-Angle Map (frame {n})",
             **self.render_kwargs,
         )
         self._save_atomic(fig)
         plt.close(fig)
-        self._dirty = False
-        return True
 
 
 class LiveTimePlot(_LiveBase):
@@ -127,13 +142,19 @@ class LiveTimePlot(_LiveBase):
             self._dirty = True
             self.n_pushed += 1
 
-    def _draw(self) -> bool:
+    def _snapshot(self):
         if not self._dirty:
-            return False
+            return None
+        self._dirty = False
+        # shallow-copy the deques: the render happens outside the lock and
+        # must not race concurrent push() appends
+        snap = TimeSeries(self.series.window_s)
+        snap._data = {k: type(v)(v) for k, v in self.series._data.items()}
+        return snap
+
+    def _render(self, snap) -> None:
         import matplotlib.pyplot as plt
 
-        fig = self.series.render(title=self.title)
+        fig = snap.render(title=self.title)
         self._save_atomic(fig)
         plt.close(fig)
-        self._dirty = False
-        return True
