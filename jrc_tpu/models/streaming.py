@@ -322,7 +322,8 @@ class DynBlockRxResult(NamedTuple):
     sig_ok: jax.Array  # (max_frames,)
     mcs: jax.Array  # (max_frames,) int32 MCS index from SIG
     packet_type_bit: jax.Array  # (max_frames,) 0=NDP 1=DATA
-    snr_db: jax.Array  # (max_frames,)
+    snr_db: jax.Array  # (max_frames,) legacy-LTF (stream_start tag)
+    snr_data_db: jax.Array  # (max_frames,) pilot-tracked payload SNR
     start: jax.Array  # (max_frames,) trigger index
     valid: jax.Array  # (max_frames,)
 
@@ -372,6 +373,7 @@ def rx_block_dynamic(
         mcs=frames.mcs,
         packet_type_bit=frames.packet_type_bit,
         snr_db=frames.snr_db,
+        snr_data_db=frames.snr_data_db,
         start=jnp.where(owned, det.start - own_lo, -1),
         valid=owned,
     )
@@ -429,6 +431,7 @@ def flat_rx_dynamic(
         mcs=frames.mcs,
         packet_type_bit=frames.packet_type_bit,
         snr_db=frames.snr_db,
+        snr_data_db=frames.snr_data_db,
         start=jnp.where(owned, det.start - own_lo, -1).reshape(-1),
         valid=owned_flat,
     )

@@ -58,7 +58,8 @@ class DynamicFrame(NamedTuple):
     packet_type_bit: jax.Array  # 0=NDP, 1=DATA
     n_ofdm_sym: jax.Array
     sig_ok: jax.Array
-    snr_db: jax.Array
+    snr_db: jax.Array  # legacy-LTF estimate (stream_start tag)
+    snr_data_db: jax.Array  # pilot-tracked payload SNR (stream_end tag)
 
 
 def frame_geometry(mcs_idx, data_size_byte, n_data_carriers: int = 48):
@@ -174,7 +175,8 @@ class DynamicPre(NamedTuple):
     packet_type_bit: jax.Array
     n_ofdm_sym: jax.Array
     sig_ok: jax.Array
-    snr_db: jax.Array
+    snr_db: jax.Array  # legacy-LTF estimate
+    snr_data_db: jax.Array  # pilot-tracked payload SNR over active symbols
 
 
 def rx_frame_dynamic_values(
@@ -272,7 +274,7 @@ def rx_frame_dynamic_values_from_syms(
             y = y * cx.expj(-beta_k)
             return y, jnp.sum(cx.abs2(est)), jnp.sum(cx.abs2(est - y[pidx]))
 
-        y_rot, _sig_k, noise_k = jax.vmap(per_symbol)(y_data, refs)
+        y_rot, sig_k, noise_k = jax.vmap(per_symbol)(y_data, refs)
         noise_cum = jnp.cumsum(w * noise_k)
         count_cum = jnp.cumsum(jnp.where(active, cfg.n_pilot_carriers, 0))
         csi = (
@@ -283,6 +285,10 @@ def rx_frame_dynamic_values_from_syms(
         z_zf = y_rot[:, didx] / h0[None, didx]
         z = cx.where(is_data_frame, z_mmse, z_zf)
         z = cx.where(active[:, None], z, cx.zeros(z.shape))
+        sig_sum = jnp.sum(w * sig_k)
+        noise_sum = noise_cum[-1]
+        snr_data = 10.0 * jnp.log10(
+            jnp.maximum(sig_sum, 1e-30) / jnp.maximum(noise_sum, 1e-30))
     else:
         def step(carry, xs):
             h, sig_sum, noise_sum, count = carry
@@ -307,11 +313,13 @@ def rx_frame_dynamic_values_from_syms(
             return (h, sig_sum, noise_sum, count), cx.where(
                 active_sym, z, cx.zeros(z.shape))
 
-        (_, _, _, _), z = jax.lax.scan(
+        (_, sig_sum, noise_sum, _), z = jax.lax.scan(
             step,
             (h0, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
             (y_data, refs, jnp.arange(max_n_sym)),
         )
+        snr_data = 10.0 * jnp.log10(
+            jnp.maximum(sig_sum, 1e-30) / jnp.maximum(noise_sum, 1e-30))
 
     values = payload_values_dynamic(
         z, mcs_idx, length, max_payload, soft=soft,
@@ -324,6 +332,7 @@ def rx_frame_dynamic_values_from_syms(
         n_ofdm_sym=n_sym,
         sig_ok=sig_ok,
         snr_db=snr_db,
+        snr_data_db=snr_data,
     )
 
 
@@ -341,6 +350,7 @@ def rx_frame_dynamic_finish(
         n_ofdm_sym=pre.n_ofdm_sym,
         sig_ok=pre.sig_ok,
         snr_db=pre.snr_db,
+        snr_data_db=pre.snr_data_db,
     )
 
 

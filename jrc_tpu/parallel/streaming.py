@@ -65,6 +65,7 @@ class ShardedDynRxResult(NamedTuple):
     packet_type_bit: jax.Array
     valid: jax.Array
     snr_db: jax.Array
+    snr_data_db: jax.Array
     start: jax.Array
     n_frames: jax.Array
     n_crc_ok: jax.Array
@@ -153,15 +154,15 @@ def _build_sharded_rx(
             return (
                 res.payload[None], res.payload_len[None], res.crc_ok[None],
                 res.sig_ok[None], res.mcs[None], res.packet_type_bit[None],
-                res.valid[None], res.snr_db[None], global_start[None],
-                n_frames, n_ok,
+                res.valid[None], res.snr_db[None], res.snr_data_db[None],
+                global_start[None], n_frames, n_ok,
             )
         return (
             res.payload[None], res.crc_ok[None], res.valid[None],
             res.snr_db[None], global_start[None], n_frames, n_ok,
         )
 
-    n_sharded = 9 if dynamic else 5
+    n_sharded = 10 if dynamic else 5
     fn = shard_map(
         block_fn,
         mesh=mesh,

@@ -104,3 +104,15 @@ def test_dynamic_sta_tracking():
             CFG, v, t, c, max_payload=MAXP, estimator="sta")
     )(x, jnp.maximum(det.start[0], 0), det.coarse_cfo[0])
     assert bool(res0.crc_ok)
+
+
+def test_dynamic_snr_data_tracks_injected_snr():
+    """The dynamic path now reports the pilot-tracked payload SNR (the
+    reference's stream_end snr_data tag) alongside the legacy-LTF estimate;
+    at a pinned injected SNR both must land near it."""
+    x, _ = _stream(MCS.QPSK_3_4, 96, b"\x02 snr probe" + bytes(85), snr_db=20.0)
+    res = jax.jit(lambda v: _rx(v))(jnp.asarray(x))
+    assert bool(res.crc_ok)
+    snr_data = float(res.snr_data_db)
+    assert 14.0 < snr_data < 26.0, snr_data
+    assert abs(snr_data - float(res.snr_db)) < 6.0
