@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--noise-var", type=float, default=0.0)
     p.add_argument("--background-removal", action="store_true")
     p.add_argument("--snr-threshold", type=float, default=15.0)
+    p.add_argument("--max-targets", type=int, default=1,
+                   help=">1: CLEAN-style multi-target detection (blank the "
+                        "found range ring, repeat)")
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--capture-csv", default=None,
                    help="append each dwell's radar channel tensor in the "
@@ -85,6 +88,20 @@ def main(argv=None):
         det = bool(np.asarray(est.detected))
         print(f"dwell {d}: detected={det} range={float(est.range_m):.2f} m "
               f"angle={float(est.angle_deg):.1f} deg snr={float(est.snr_db):.1f} dB")
+        if args.max_targets > 1:
+            multi = radar.range_angle_estimate_multi(
+                res.ra_map,
+                jnp.asarray(radar.range_axis(cfg.fft_len, cfg.sample_rate)),
+                jnp.asarray(cfg.angle_axis(16), jnp.float32),
+                max_targets=args.max_targets,
+                snr_threshold_db=args.snr_threshold,
+            )
+            for k in range(args.max_targets):
+                if bool(np.asarray(multi.detected)[k]):
+                    print(f"  target {k}: range="
+                          f"{float(np.asarray(multi.range_m)[k]):.2f} m "
+                          f"angle={float(np.asarray(multi.angle_deg)[k]):.1f} deg "
+                          f"snr={float(np.asarray(multi.snr_db)[k]):.1f} dB")
         if det:
             log.log_detection(float(est.power), float(est.snr_db),
                               float(est.range_m), float(est.angle_deg))

@@ -226,6 +226,63 @@ def range_angle_estimate(
     )
 
 
+def range_angle_estimate_multi(
+    ra_map: cx.CArray,  # (n_range, n_angle) complex pair
+    range_bins: jax.Array,
+    angle_bins: jax.Array,
+    *,
+    max_targets: int = 3,
+    **estimate_kwargs,
+) -> RangeAngleEstimate:
+    """CLEAN multi-target detection (beyond the reference, whose estimator
+    reports only the global peak, lib/range_angle_estimator_impl.cc:137-151).
+
+    A point target's complex map is EXACTLY rank-1 — the outer product of
+    its range response (periodic sinc of the zero-padded IFFT) and its
+    array steering pattern. So each iteration subtracts the detected
+    target's full response — sidelobes and all — as a rank-1 update built
+    from the MEASURED peak row and column:
+
+        m ← m − outer(m[:, ai], m[ri, :]) / m[ri, ai]
+
+    which zeroes the peak's entire row and column exactly and its 2-D
+    sidelobe lattice up to the (second-order) contamination of that row/
+    column by the remaining targets. No masking heuristics, no blind
+    ring — a weak target under a strong target's sidelobe skirt survives.
+
+    Returns a RangeAngleEstimate whose fields have a leading
+    (max_targets,) axis, strongest-first; slots after the first failed
+    detection gate have detected=False. Subtraction residues (second-order
+    cross terms) sit ~25-30 dB below the strongest target — in a noiseless
+    simulation they can still clear a low ``snr_threshold_db``, so set
+    ``max_targets`` to the expected scene size or raise the threshold.
+    """
+    ra_map = cx.from_complex(ra_map)
+    range_bins = jnp.asarray(range_bins)
+    angle_bins = jnp.asarray(angle_bins)
+
+    results = []
+    m = ra_map
+    for _ in range(max_targets):
+        est = range_angle_estimate(m, range_bins, angle_bins, **estimate_kwargs)
+        results.append(est)
+        col = m[:, est.angle_idx]  # (n_range,) range response at the angle
+        row = m[est.range_idx, :]  # (n_angle,) steering pattern at the range
+        peak = m[est.range_idx, est.angle_idx]
+        outer = cx.CArray(
+            col.re[:, None] * row.re[None, :] - col.im[:, None] * row.im[None, :],
+            col.re[:, None] * row.im[None, :] + col.im[:, None] * row.re[None, :],
+        )
+        m = m - outer / peak
+    stacked = RangeAngleEstimate(*[
+        jnp.stack([getattr(r, f) for r in results])
+        for f in RangeAngleEstimate._fields
+    ])
+    # once one slot fails the gates, later (weaker) slots are residue
+    keep = jnp.cumprod(stacked.detected.astype(jnp.int32)) > 0
+    return stacked._replace(detected=keep)
+
+
 class PeakDetection(NamedTuple):
     freq: jax.Array
     phase: jax.Array

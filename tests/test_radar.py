@@ -150,3 +150,31 @@ def test_background_record_toggle_clutter_suppression():
     # weak new target (10 m2 at 10 m / +15 deg) wins the argmax
     assert abs(float(r.radar_est.range_m) - 10.0) < 0.7, float(r.radar_est.range_m)
     assert abs(float(r.radar_est.angle_deg) - 15.0) < 2.5, float(r.radar_est.angle_deg)
+
+
+def test_multi_target_range_angle_estimate():
+    """CLEAN-style iteration resolves BOTH simulated targets (the single-
+    peak estimator — reference parity — reports only the stronger one)."""
+    from jrc_tpu.models import radar_chain
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+    from jrc_tpu.config import MCS, PacketType
+
+    targets = channel.Targets((12.0, 5.0), (0.0, 0.0), (25.0, -20.0),
+                              (10.0, 10.0))
+    spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=30, packet_type=PacketType.NDP)
+    payload = jnp.asarray(make_payload(spec, bytes([1]) + bytes(26)))
+    res = radar_chain.radar_frame(CFG, spec, payload, targets,
+                                  key=jax.random.PRNGKey(0))
+    est = radar.range_angle_estimate_multi(
+        res.ra_map,
+        jnp.asarray(radar.range_axis(CFG.fft_len, CFG.sample_rate)),
+        jnp.asarray(CFG.angle_axis(16), jnp.float32),
+        max_targets=3,
+    )
+    det = np.asarray(est.detected)
+    assert det[0] and det[1]
+    found = {(round(float(r)), round(float(a)))
+             for r, a, d in zip(np.asarray(est.range_m),
+                                np.asarray(est.angle_deg), det) if d}
+    assert any(abs(r - 12) <= 1 and abs(a - 25) <= 3 for r, a in found)
+    assert any(abs(r - 5) <= 1 and abs(a + 20) <= 3 for r, a in found)
