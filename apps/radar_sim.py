@@ -31,8 +31,9 @@ def main(argv=None):
     p.add_argument("--background-removal", action="store_true")
     p.add_argument("--snr-threshold", type=float, default=15.0)
     p.add_argument("--max-targets", type=int, default=1,
-                   help=">1: CLEAN-style multi-target detection (blank the "
-                        "found range ring, repeat)")
+                   help=">1: CLEAN-style multi-target detection (subtract "
+                        "each peak's rank-1 row/column outer product from "
+                        "the complex map, repeat)")
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--capture-csv", default=None,
                    help="append each dwell's radar channel tensor in the "

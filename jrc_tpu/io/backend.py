@@ -77,6 +77,15 @@ class TrxSession:
         # backend's configured rate when it exposes one
         cfg = getattr(backend, "cfg", None)
         self.sample_rate = sample_rate or getattr(cfg, "sample_rate", None)
+        if num_delay_samps > 0 and not self.sample_rate:
+            import warnings
+
+            warnings.warn(
+                "TrxSession: num_delay_samps > 0 but no sample_rate is "
+                "available — rx_time cannot be shifted for the stripped "
+                "alignment samples, biasing cross-dwell timestamps",
+                stacklevel=2,
+            )
         self._prev_tx_time = -float("inf")
         self.n_bursts = 0
         self.n_tx_only = 0

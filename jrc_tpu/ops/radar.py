@@ -273,7 +273,12 @@ def range_angle_estimate_multi(
             col.re[:, None] * row.re[None, :] - col.im[:, None] * row.im[None, :],
             col.re[:, None] * row.im[None, :] + col.im[:, None] * row.re[None, :],
         )
-        m = m - outer / peak
+        # a degenerate (all-zero / fully-cancelled) map would make this 0/0
+        # and NaN every later slot's fields — skip the subtraction instead
+        # (the slot fails the detection gate anyway)
+        ok = cx.abs2(peak) > 1e-30
+        safe_peak = cx.CArray(jnp.where(ok, peak.re, 1.0), jnp.where(ok, peak.im, 0.0))
+        m = cx.where(ok, m - outer / safe_peak, m)
     stacked = RangeAngleEstimate(*[
         jnp.stack([getattr(r, f) for r in results])
         for f in RangeAngleEstimate._fields
