@@ -160,12 +160,19 @@ def bench_radar_jrc(dev, n_iter=20):
 
 def bench_sustained(dev, cap, n_frames, cfg, spec, block_len, n_blocks,
                     max_frames):
-    """Ingest-inclusive sustained throughput: IQ ring → float32 split →
-    h2d → flat RX kernel, double-buffered (ingest of superblock k+1 overlaps
-    compute of superblock k). On this rig the axon-tunnel h2d (~30 MB/s) is
-    the ceiling — reported alongside so the kernel-vs-system gap is
-    attributable; on a real TPU host PCIe h2d (≥10 GB/s) sustains >1 Gsps
-    of (re, im) traffic and the pipeline is compute-bound."""
+    """Ingest-inclusive sustained throughput: IQ ring → h2d → flat RX
+    kernel, double-buffered (ingest of superblock k+1 overlaps compute of
+    superblock k), on BOTH wire formats:
+
+    * fc32 — float32 (re, im), 8 B/sample (the reference's host format);
+    * sc16 — int16 (re, im), 4 B/sample (UHD's native OTW format), with
+      on-device dequantization — half the bytes through the transfer-bound
+      leg, so ~2× sustained on any h2d-limited rig.
+
+    On this rig the axon-tunnel h2d (~30-50 MB/s) is the ceiling — reported
+    alongside so the kernel-vs-system gap is attributable; on a real TPU
+    host PCIe h2d (≥10 GB/s) sustains >1 Gsps even on the fc32 wire and the
+    pipeline is compute-bound."""
     import jax
     import numpy as np
 
@@ -173,53 +180,63 @@ def bench_sustained(dev, cap, n_frames, cfg, spec, block_len, n_blocks,
     from jrc_tpu.ops import cplx as cx
 
     n_samples = block_len * n_blocks
-    streamer = BlockStreamer(
-        cfg, spec, block_len=block_len, n_blocks=n_blocks,
-        max_frames=max_frames, device=dev, pipeline_depth=2,
-        ring_capacity=4 * n_samples,
-    )
-    # warm pass: compile + first h2d
-    streamer.push(cap)
-    t0 = time.time()
-    for _ in streamer.process_available():
-        pass
-    _log(f"sustained warm pass {time.time() - t0:.1f}s")
+    out = {}
+    for wire in ("fc32", "sc16"):
+        streamer = BlockStreamer(
+            cfg, spec, block_len=block_len, n_blocks=n_blocks,
+            max_frames=max_frames, device=dev, pipeline_depth=2,
+            ring_capacity=4 * n_samples, wire=wire,
+        )
+        # warm pass: compile + first h2d
+        streamer.push(cap)
+        t0 = time.time()
+        for _ in streamer.process_available():
+            pass
+        _log(f"sustained[{wire}] warm pass {time.time() - t0:.1f}s")
 
-    # isolated h2d rate of one superblock (the pipeline's transfer leg)
-    pair = cx.CArray(
-        np.ascontiguousarray(cap.real[:n_samples]).astype(np.float32),
-        np.ascontiguousarray(cap.imag[:n_samples]).astype(np.float32),
-    )
-    jax.block_until_ready(jax.device_put(pair, dev))
-    t0 = time.time()
-    jax.block_until_ready(jax.device_put(pair, dev))
-    t_h2d = time.time() - t0
+        # isolated h2d rate of one superblock (the pipeline's transfer leg)
+        if wire == "sc16":
+            staged = np.clip(
+                np.rint(cap.view(np.float32)[: 2 * n_samples] * 32767.0),
+                -32767, 32767).astype(np.int16).reshape(-1, 2)
+            bytes_per_sample = 4
+        else:
+            staged = cx.CArray(
+                np.ascontiguousarray(cap.real[:n_samples]).astype(np.float32),
+                np.ascontiguousarray(cap.imag[:n_samples]).astype(np.float32),
+            )
+            bytes_per_sample = 8
+        jax.block_until_ready(jax.device_put(staged, dev))
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(staged, dev))
+        t_h2d = time.time() - t0
 
-    # timed: two superblocks through the full pipeline, pushes included
-    crc_before = streamer.stats.crc_ok
-    t0 = time.time()
-    streamer.push(cap[:n_samples])
-    streamer.push(cap[:n_samples])
-    n_res = 0
-    for _ in streamer.process_available():
-        n_res += 1
-    wall = time.time() - t0
-    crc = streamer.stats.crc_ok - crc_before
-    mb = n_samples * 8 / 1e6
-    return {
-        "sustained_sps": round(2 * n_samples / wall, 1),
-        "sustained_crc_ok": int(crc),
-        "sustained_frames_expected": 2 * n_frames,
+        # timed: two superblocks through the full pipeline, pushes included
+        crc_before = streamer.stats.crc_ok
+        t0 = time.time()
+        streamer.push(cap[:n_samples])
+        streamer.push(cap[:n_samples])
+        for _ in streamer.process_available():
+            pass
+        wall = time.time() - t0
+        crc = streamer.stats.crc_ok - crc_before
+        mb = n_samples * bytes_per_sample / 1e6
+        tag = "" if wire == "fc32" else "_sc16"
+        out[f"sustained{tag}_sps"] = round(2 * n_samples / wall, 1)
+        out[f"sustained{tag}_crc_ok"] = int(crc)
         # the ring's trailing halo keeps the final straddling frame pending
         # until more samples arrive (exactly-once streaming ownership), so
         # up to one boundary frame is legitimately still queued
-        "sustained_ok": int(crc) >= 2 * n_frames - 1,
-        "h2d_MBps": round(mb / t_h2d, 1),
-        "sustained_note": (
-            "axon-tunnel h2d is the ceiling on this rig; "
-            "pipeline is transfer-bound, kernel-side idle"
-        ),
-    }
+        out[f"sustained{tag}_ok"] = int(crc) >= 2 * n_frames - 1
+        out[f"h2d{tag}_MBps"] = round(mb / t_h2d, 1)
+    out["sustained_frames_expected"] = 2 * n_frames
+    out["sustained_wire_speedup"] = round(
+        out["sustained_sc16_sps"] / max(out["sustained_sps"], 1e-9), 2)
+    out["sustained_note"] = (
+        "axon-tunnel h2d is the ceiling on this rig (transfer-bound, "
+        "kernel idle); sc16 wire halves bytes/sample"
+    )
+    return out
 
 
 def run_on_device(dev, cap, n_frames, cfg, spec, block_len, n_blocks, max_frames,
@@ -488,7 +505,9 @@ def main() -> int:
         for k in ("radar_dwell_hz", "jrc_loop_hz", "radar_detected",
                   "jrc_crc_ok", "sustained_sps", "sustained_crc_ok",
                   "sustained_frames_expected", "sustained_ok", "h2d_MBps",
-                  "sustained_note"):
+                  "sustained_sc16_sps", "sustained_sc16_crc_ok",
+                  "sustained_sc16_ok", "h2d_sc16_MBps",
+                  "sustained_wire_speedup", "sustained_note"):
             if k in result:
                 out[k] = result[k]
     elif cpu and cpu.get("verified"):

@@ -27,7 +27,7 @@ from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import streaming as block_rx
 from jrc_tpu.ops import cplx as cx, sync
 from jrc_tpu.ops.encoder import FrameSpec
-from jrc_tpu.runtime import IQRing
+from jrc_tpu.runtime import IQRing, IQRing16, SC16_SCALE
 
 
 @dataclass
@@ -56,6 +56,8 @@ class BlockStreamer:
         jit: bool = True,
         device=None,
         pipeline_depth: int = 2,
+        wire: str = "fc32",
+        full_scale: float = 1.0,
     ):
         """``spec=None`` selects the SIG-driven dynamic kernel: each frame's
         MCS/length/type is discovered from its SIG field (mixed traffic),
@@ -69,8 +71,20 @@ class BlockStreamer:
         (complex64 h2d is unimplemented on some TPU runtimes);
         ``pipeline_depth`` dispatches stay in flight before the first
         result readback, overlapping ingest with compute.
+
+        ``wire`` selects the ring/transfer sample format:
+
+        * ``"fc32"`` — float32 (re, im), 8 B/sample, bit-exact (the
+          reference's host format, lib/usrp_mimo_trx_impl.cc:219-238);
+        * ``"sc16"`` — int16 (re, im), 4 B/sample — UHD's native
+          over-the-wire format. Halves ring memory AND host→device
+          bandwidth (the sustained-throughput ceiling on any rig);
+          dequantization runs on-device, fused by XLA into the head of the
+          RX kernel. ``full_scale`` maps the float amplitude that hits
+          int16 ±32767 (UHD convention: 1.0).
         """
         import jax
+        import jax.numpy as jnp
 
         assert block_len % sync.SEG == 0, block_len
         self.cfg = cfg
@@ -99,8 +113,24 @@ class BlockStreamer:
                 max_frames=max_frames, estimator=estimator, soft=soft,
             )
         self.left_hist = block_rx.left_history_samples(cfg)
-        self.ring = IQRing(ring_capacity or 4 * self.span)
-        self._rx = jax.jit(fn) if jit else fn
+        if wire not in ("fc32", "sc16"):
+            raise ValueError(f"wire must be 'fc32' or 'sc16', got {wire!r}")
+        self.wire = wire
+        self.full_scale = float(full_scale)
+        if wire == "sc16":
+            self.ring = IQRing16(ring_capacity or 4 * self.span,
+                                 full_scale=full_scale)
+            dq = jnp.float32(self.full_scale / SC16_SCALE)
+
+            def fn_wire(xp):  # int16 (n, 2) → on-device dequant → RX kernel
+                return fn(xp=cx.CArray(
+                    xp[:, 0].astype(jnp.float32) * dq,
+                    xp[:, 1].astype(jnp.float32) * dq,
+                ))
+        else:
+            self.ring = IQRing(ring_capacity or 4 * self.span)
+            fn_wire = fn
+        self._rx = jax.jit(fn_wire) if jit else fn_wire
         self._counts = jax.jit(
             lambda valid, crc: jax.numpy.stack([
                 jax.numpy.sum(valid.astype(jax.numpy.float32)),
@@ -113,16 +143,31 @@ class BlockStreamer:
         self.stats = StreamStats()
 
     def push(self, samples: np.ndarray) -> int:
+        """Push complex64 samples (quantized on the way in on an sc16 wire)."""
         return self.ring.push(samples)
 
+    def push_sc16(self, samples: np.ndarray) -> int:
+        """Push already-quantized int16 (re, im) samples — the zero-convert
+        path for radio drivers that deliver sc16 natively. sc16 wire only."""
+        if self.wire != "sc16":
+            raise ValueError("push_sc16 requires wire='sc16'")
+        return self.ring.push_sc16(samples)
+
     def _stage(self, blk: np.ndarray):
-        """complex64 host block → device-resident float32 (re, im) pair.
+        """Host block → device-resident wire-format buffer.
+
+        fc32: complex64 → float32 (re, im) pair (8 B/sample on the wire);
+        sc16: the ring's int16 (n, 2) block goes up as-is (4 B/sample) —
+        dequantization happens on-device inside the jitted kernel.
 
         ``jax.device_put`` is asynchronous: the transfer of this superblock
         overlaps the previous superblock's device compute.
         """
         import jax
 
+        if self.wire == "sc16":
+            return (jax.device_put(blk, self._device)
+                    if self._device is not None else blk)
         # blk.real/.imag are float32 strided views of the complex64 block;
         # one ascontiguousarray call is the single copy (astype would copy
         # a second time)

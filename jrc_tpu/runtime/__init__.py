@@ -63,6 +63,26 @@ def load_library():
             lib.jrc_mean_power.restype = ctypes.c_float
             lib.jrc_mean_power.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+            lib.jrc_ring16_create.restype = ctypes.c_void_p
+            lib.jrc_ring16_create.argtypes = [ctypes.c_size_t]
+            lib.jrc_ring16_destroy.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring16_capacity.restype = ctypes.c_size_t
+            lib.jrc_ring16_capacity.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring16_available.restype = ctypes.c_size_t
+            lib.jrc_ring16_available.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring16_dropped.restype = ctypes.c_uint64
+            lib.jrc_ring16_dropped.argtypes = [ctypes.c_void_p]
+            lib.jrc_ring16_push.restype = ctypes.c_size_t
+            lib.jrc_ring16_push.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t]
+            lib.jrc_ring16_push_fc32.restype = ctypes.c_size_t
+            lib.jrc_ring16_push_fc32.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_size_t, ctypes.c_float]
+            lib.jrc_ring16_pop_block.restype = ctypes.c_int
+            lib.jrc_ring16_pop_block.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
             _lib = lib
         except (subprocess.CalledProcessError, OSError) as e:
             _lib_err = str(e)
@@ -153,6 +173,122 @@ class IQRing:
     def close(self):
         if self._h is not None:
             self._lib.jrc_ring_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+#: sc16 full-scale convention (UHD: float ±1.0 ↔ int16 ±32767)
+SC16_SCALE = 32767.0
+
+
+class IQRing16:
+    """SPSC sc16 (int16 re,im) ring buffer with overlapped block pop.
+
+    The quantized wire path (4 B/sample vs the fc32 ring's 8): radios
+    deliver sc16 natively (UHD's OTW format — the reference converts to
+    fc32 host-side at lib/usrp_mimo_trx_impl.cc:219-238); keeping samples
+    quantized through the ring AND the host→device transfer halves ingest
+    bandwidth, with dequantization fused into the head of the RX kernel.
+
+    ``pop_block`` returns an (n_out, 2) int16 array laid out
+    ``[left_hist | block_len | halo]``; dequantize with
+    ``x = q.astype(float32) / (SC16_SCALE / full_scale)``.
+    """
+
+    def __init__(self, capacity: int, full_scale: float = 1.0):
+        self._lib = load_library()
+        self.full_scale = float(full_scale)
+        self._q_scale = SC16_SCALE / self.full_scale
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.jrc_ring16_create(capacity))
+            if not self._h:
+                raise MemoryError("jrc_ring16_create failed")
+            self.capacity = int(self._lib.jrc_ring16_capacity(self._h))
+        else:  # numpy fallback (single-threaded semantics)
+            self.capacity = 1
+            while self.capacity < capacity:
+                self.capacity *= 2
+            self._buf = np.zeros((self.capacity, 2), np.int16)
+            self._head = 0
+            self._pos = 0
+            self._dropped = 0
+            self._hist_keep = 0
+            self._h = None
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    def push(self, samples: np.ndarray) -> int:
+        """Quantize complex64 (or float (n, 2)) samples onto the wire."""
+        if np.iscomplexobj(samples):
+            x = np.ascontiguousarray(samples, np.complex64).view(np.float32)
+        else:
+            x = np.ascontiguousarray(samples, np.float32).reshape(-1)
+        n = len(x) // 2
+        if self._h is not None:
+            return int(self._lib.jrc_ring16_push_fc32(
+                self._h, _as_float_ptr(x), n, ctypes.c_float(self._q_scale)))
+        q = np.clip(np.rint(x * self._q_scale), -32767, 32767).astype(np.int16)
+        return self._push_q(q.reshape(-1, 2))
+
+    def push_sc16(self, samples: np.ndarray) -> int:
+        """Push already-quantized int16 samples ((n, 2) or interleaved)."""
+        q = np.ascontiguousarray(samples, np.int16).reshape(-1, 2)
+        if self._h is not None:
+            return int(self._lib.jrc_ring16_push(
+                self._h,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                q.shape[0]))
+        return self._push_q(q)
+
+    def _push_q(self, q: np.ndarray) -> int:
+        tail = max(self._pos - self._hist_keep, 0)
+        free = self.capacity - (self._head - tail)
+        n = min(q.shape[0], free)
+        self._dropped += q.shape[0] - n
+        idx = self._head % self.capacity
+        first = min(self.capacity - idx, n)
+        self._buf[idx : idx + first] = q[:first]
+        if n > first:
+            self._buf[: n - first] = q[first:n]
+        self._head += n
+        return n
+
+    def available(self) -> int:
+        if self._h is not None:
+            return int(self._lib.jrc_ring16_available(self._h))
+        return self._head - self._pos
+
+    def dropped(self) -> int:
+        if self._h is not None:
+            return int(self._lib.jrc_ring16_dropped(self._h))
+        return self._dropped
+
+    def pop_block(self, block_len: int, halo: int, left_hist: int) -> np.ndarray | None:
+        n_out = left_hist + block_len + halo
+        out = np.empty((n_out, 2), np.int16)
+        if self._h is not None:
+            ok = self._lib.jrc_ring16_pop_block(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                block_len, halo, left_hist)
+            return out if ok else None
+        if self._head - self._pos < block_len + halo:
+            return None
+        self._hist_keep = max(self._hist_keep, left_hist)
+        idx = self._pos - left_hist + np.arange(n_out)
+        out[:] = np.where((idx >= 0)[:, None], self._buf[idx % self.capacity], 0)
+        self._pos += block_len
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.jrc_ring16_destroy(self._h)
             self._h = None
 
     def __del__(self):
