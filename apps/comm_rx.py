@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--block-len", type=int, default=1 << 16)
     p.add_argument("--udp-out", type=int, default=0,
                    help="forward decoded payloads to this UDP port")
+    p.add_argument("--chan-est-csv", default=None,
+                   help="write each received NDP frame's MIMO channel "
+                        "estimate here in the reference chan_est.csv format "
+                        "(lib/mimo_ofdm_equalizer_impl.cc:378-416) — the "
+                        "sounding feedback the TX precoder consumes; "
+                        "requires --dynamic (NDP is SIG-classified)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -53,6 +59,9 @@ def main(argv=None):
         p.error(f"--payload-bytes {args.payload_bytes} exceeds the dynamic "
                 f"kernel's --max-payload {args.max_payload} envelope — such "
                 "frames can never decode")
+    if args.chan_est_csv and not args.dynamic:
+        p.error("--chan-est-csv requires --dynamic (NDP frames are "
+                "classified from their SIG field)")
     if args.demo:
         from jrc_tpu.models import comm_link
         from jrc_tpu.ops import channel
@@ -61,13 +70,28 @@ def main(argv=None):
         tx = comm_link.tx_frame(cfg, spec, payload, 1)
         frame = np.asarray(channel.comm_channel(tx.samples, angle_deg=0.0,
                                                 path_loss=5.0, noise_var=0.0))
+        ndp_wave = None
+        if args.dynamic:
+            # mixed traffic: every 4th frame is an NDP sounding frame so the
+            # --chan-est-csv feedback path is exercised end-to-end
+            ndp_spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=24,
+                                 packet_type=PacketType.NDP)
+            ndp_payload = jnp.asarray(
+                make_payload(ndp_spec, bytes([1]) + b"comm_rx ndp"))
+            ndp_tx = comm_link.tx_frame(cfg, ndp_spec, ndp_payload, 1)
+            ndp_wave = np.asarray(channel.comm_channel(
+                ndp_tx.samples, angle_deg=0.0, path_loss=5.0, noise_var=0.0))
         rng = np.random.default_rng(0)
         cap = (rng.normal(0, 1e-4, (4 * args.block_len, 2))
                .view(np.complex128)[:, 0]).astype(np.complex64)
-        pos = 700
-        while pos + len(frame) < len(cap) - 100:
-            cap[pos : pos + len(frame)] += frame
-            pos += len(frame) + 3000
+        pos, k = 700, 0
+        while True:
+            w = ndp_wave if (ndp_wave is not None and k % 4 == 3) else frame
+            if pos + len(w) >= len(cap) - 100:
+                break
+            cap[pos : pos + len(w)] += w
+            pos += len(w) + 3000
+            k += 1
     elif args.iq:
         cap = np.fromfile(args.iq, np.complex64)
     else:
@@ -83,20 +107,28 @@ def main(argv=None):
     streamer = BlockStreamer(
         cfg, None if args.dynamic else spec, block_len=args.block_len,
         max_frames=32, max_payload=args.max_payload)
+    n_ndp = 0
     chunk = 1 << 15
     for i in range(0, len(cap), chunk):
         streamer.push(cap[i : i + chunk])
         for res in streamer.process_available():
-            _report(res, sink)
+            n_ndp += _report(res, sink, args.chan_est_csv)
     for res in streamer.flush():
-        _report(res, sink)
+        n_ndp += _report(res, sink, args.chan_est_csv)
     s = streamer.stats
     print(f"blocks={s.blocks} frames={s.frames} crc_ok={s.crc_ok} "
           f"dropped_samples={s.dropped_samples}")
+    if args.chan_est_csv:
+        print(f"chan_est: {n_ndp} NDP sounding update(s) -> "
+              f"{args.chan_est_csv}" if n_ndp else
+              "chan_est: no NDP frame received; nothing written")
     return 0
 
 
-def _report(res, sink):
+def _report(res, sink, chan_est_csv=None) -> int:
+    """Print per-frame lines; export the latest NDP sounding estimate when
+    requested (the equalizer→precoder feedback loop the reference closes
+    through chan_est.csv). Returns the number of NDP estimates written."""
     import numpy as np
 
     valid = np.asarray(res.valid)
@@ -104,12 +136,23 @@ def _report(res, sink):
     snr = np.asarray(res.snr_db)
     payload = np.asarray(res.payload)
     mcs = np.asarray(res.mcs) if hasattr(res, "mcs") else None
+    n_ndp = 0
     for k in np.nonzero(valid)[0]:
         extra = f" mcs={int(mcs[k])}" if mcs is not None else ""
+        is_ndp = (hasattr(res, "chan_est_ok")
+                  and bool(np.asarray(res.chan_est_ok)[k]))
+        if is_ndp:
+            extra += " type=NDP"
         print(f"  frame @ {int(np.asarray(res.start)[k])}: crc={bool(crc[k])} "
               f"snr={float(snr[k]):.1f} dB{extra}")
         if sink is not None and crc[k]:
             sink.send(payload[k])
+        if chan_est_csv and is_ndp:
+            from jrc_tpu.utils.logging import write_chan_est_csv
+
+            write_chan_est_csv(chan_est_csv, np.asarray(res.chan_est[k]))
+            n_ndp += 1
+    return n_ndp
 
 
 if __name__ == "__main__":

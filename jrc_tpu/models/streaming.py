@@ -326,6 +326,8 @@ class DynBlockRxResult(NamedTuple):
     snr_data_db: jax.Array  # (max_frames,) pilot-tracked payload SNR
     start: jax.Array  # (max_frames,) trigger index
     valid: jax.Array  # (max_frames,)
+    chan_est: cx.CArray  # (max_frames, fft_len, n_tx) NDP MIMO estimate
+    chan_est_ok: jax.Array  # (max_frames,) NDP + valid SIG → chan_est live
 
 
 def frame_window_samples_dynamic(cfg: OFDMConfig, max_payload: int) -> int:
@@ -376,6 +378,8 @@ def rx_block_dynamic(
         snr_data_db=frames.snr_data_db,
         start=jnp.where(owned, det.start - own_lo, -1),
         valid=owned,
+        chan_est=frames.chan_est,
+        chan_est_ok=frames.chan_est_ok & owned,
     )
 
 
@@ -434,6 +438,8 @@ def flat_rx_dynamic(
         snr_data_db=frames.snr_data_db,
         start=jnp.where(owned, det.start - own_lo, -1).reshape(-1),
         valid=owned_flat,
+        chan_est=frames.chan_est,
+        chan_est_ok=frames.chan_est_ok & owned_flat,
     )
 
 

@@ -60,6 +60,8 @@ class DynamicFrame(NamedTuple):
     sig_ok: jax.Array
     snr_db: jax.Array  # legacy-LTF estimate (stream_start tag)
     snr_data_db: jax.Array  # pilot-tracked payload SNR (stream_end tag)
+    chan_est: cx.CArray  # (fft_len, n_tx) NDP MIMO estimate (chan_est.csv)
+    chan_est_ok: jax.Array  # NDP frame with valid SIG → chan_est is live
 
 
 def frame_geometry(mcs_idx, data_size_byte, n_data_carriers: int = 48):
@@ -177,6 +179,7 @@ class DynamicPre(NamedTuple):
     sig_ok: jax.Array
     snr_db: jax.Array  # legacy-LTF estimate
     snr_data_db: jax.Array  # pilot-tracked payload SNR over active symbols
+    chan_est: cx.CArray  # (fft_len, n_tx) NDP MIMO LS estimate
 
 
 def rx_frame_dynamic_values(
@@ -236,6 +239,11 @@ def rx_frame_dynamic_values_from_syms(
     # MIMO-LTF: both estimates, runtime-selected by packet type
     y_ltf = grid[3 : 3 + cfg.n_ltf]
     h_eff = equalizer.effective_channel_estimate(cfg, y_ltf)
+    # full (fft_len, n_tx) NDP sounding estimate — the streaming surface's
+    # replacement for the equalizer's chan_est.csv write on NDP frames
+    # (lib/mimo_ofdm_equalizer_impl.cc:378-416); meaningful when the SIG
+    # says NDP, computed unconditionally for static shapes
+    h_ndp, _ = equalizer.mimo_channel_estimate_ndp(cfg, y_ltf)
 
     # data equalization over the max envelope with a masked scan:
     y_data = grid[3 + cfg.n_ltf :]
@@ -333,6 +341,7 @@ def rx_frame_dynamic_values_from_syms(
         sig_ok=sig_ok,
         snr_db=snr_db,
         snr_data_db=snr_data,
+        chan_est=h_ndp,
     )
 
 
@@ -351,6 +360,10 @@ def rx_frame_dynamic_finish(
         sig_ok=pre.sig_ok,
         snr_db=pre.snr_db,
         snr_data_db=pre.snr_data_db,
+        chan_est=pre.chan_est,
+        # the reference writes chan_est.csv at the NDP MIMO-LTF stage,
+        # before any payload CRC (…:378-416) — gate only on type + SIG
+        chan_est_ok=(pre.packet_type_bit == 0) & pre.sig_ok,
     )
 
 

@@ -67,6 +67,8 @@ class ShardedDynRxResult(NamedTuple):
     snr_db: jax.Array
     snr_data_db: jax.Array
     start: jax.Array
+    chan_est: jax.Array  # (n_blocks, max_frames, fft_len, n_tx) NDP estimate
+    chan_est_ok: jax.Array  # (n_blocks, max_frames,)
     n_frames: jax.Array
     n_crc_ok: jax.Array
 
@@ -155,14 +157,15 @@ def _build_sharded_rx(
                 res.payload[None], res.payload_len[None], res.crc_ok[None],
                 res.sig_ok[None], res.mcs[None], res.packet_type_bit[None],
                 res.valid[None], res.snr_db[None], res.snr_data_db[None],
-                global_start[None], n_frames, n_ok,
+                global_start[None], res.chan_est[None],
+                res.chan_est_ok[None], n_frames, n_ok,
             )
         return (
             res.payload[None], res.crc_ok[None], res.valid[None],
             res.snr_db[None], global_start[None], n_frames, n_ok,
         )
 
-    n_sharded = 10 if dynamic else 5
+    n_sharded = 12 if dynamic else 5
     fn = shard_map(
         block_fn,
         mesh=mesh,
