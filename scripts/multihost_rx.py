@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Multi-host streaming RX: one process per "host", DCN via jax.distributed.
+
+Executes the SURVEY §5 distribution bullet end-to-end: each process calls
+``parallel.mesh.init_distributed`` (the coordinator/rank entry a real
+multi-host TPU deployment uses), forms a global mesh over every process's
+devices, and runs the time-block sharded streaming RX with ppermute halo
+exchange crossing the process boundary. On this rig the "hosts" are
+localhost processes with CPU devices — the same code path, with gRPC
+standing in for DCN.
+
+Run one process per rank (the test harness spawns both):
+
+    python scripts/multihost_rx.py --coordinator 127.0.0.1:9876 \
+        --num-processes 2 --process-id 0
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, default=2)
+    p.add_argument("--block-len", type=int, default=16384)
+    p.add_argument("--dynamic", action="store_true",
+                   help="also run the SIG-driven dynamic executor")
+    args = p.parse_args(argv)
+
+    import jax
+
+    # CPU backend with N virtual devices per process (this host's axon
+    # sitecustomize force-sets jax_platforms; override before first use)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices_per_process)
+
+    from jrc_tpu.parallel.mesh import init_distributed
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    assert jax.process_count() == args.num_processes, jax.process_count()
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_global == args.num_processes * args.devices_per_process
+    print(f"[rank {args.process_id}] {n_local} local / {n_global} global "
+          f"devices", flush=True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.models import comm_link
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+    from jrc_tpu.parallel import streaming as pstream
+
+    cfg = OFDMConfig()
+    spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=16,
+                     packet_type=PacketType.DATA)
+    payload = jnp.asarray(make_payload(spec, bytes([2]) + b"multihost"))
+    tx = comm_link.tx_frame(cfg, spec, payload, 1)
+    frame = np.asarray(channel.comm_channel(
+        tx.samples, angle_deg=0.0, path_loss=5.0, noise_var=0.0))
+
+    # identical capture on every rank (deterministic), one frame per device
+    # block — several straddle a block boundary, incl. the process boundary
+    block_len = args.block_len
+    rng = np.random.default_rng(0)
+    cap = (rng.normal(0, 1e-4, (n_global * block_len, 2)) @ [1, 1j]
+           ).astype(np.complex64)
+    for d in range(n_global):
+        pos = d * block_len + (d * 977) % (block_len - len(frame) - 8)
+        cap[pos : pos + len(frame)] += frame
+
+    mesh = pstream.make_time_mesh(n_global)
+    res = pstream.sharded_rx(cfg, spec, mesh, jnp.asarray(cap),
+                             max_frames_per_block=4)
+    # n_frames / n_crc_ok are psum-reduced and fully replicated — every
+    # rank can read them without a cross-process gather
+    n_frames = int(np.asarray(res.n_frames))
+    n_ok = int(np.asarray(res.n_crc_ok))
+    assert n_frames == n_global, (n_frames, n_global)
+    assert n_ok == n_global, (n_ok, n_global)
+
+    if args.dynamic:
+        res_d = pstream.sharded_rx_dynamic(
+            cfg, mesh, jnp.asarray(cap), max_frames_per_block=4,
+            max_payload=32)
+        nf_d = int(np.asarray(res_d.n_frames))
+        ok_d = int(np.asarray(res_d.n_crc_ok))
+        assert nf_d == n_global and ok_d == n_global, (nf_d, ok_d)
+
+    print(f"MULTIHOST_OK rank={args.process_id} n_frames={n_frames} "
+          f"crc_ok={n_ok} dynamic={bool(args.dynamic)}", flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
