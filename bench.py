@@ -49,8 +49,15 @@ def _log(msg: str) -> None:
 _T0 = time.monotonic()
 
 
-def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
-    """TX side on the CPU backend → numpy capture with frames + trailing halo."""
+def build_capture(cfg, spec, n_samples: int, gap: int = 2111,
+                  snr_db: float = 25.0):
+    """TX side on the CPU backend → numpy capture with frames + trailing halo.
+
+    The capture carries the reference comm-sim's deliberate impairments
+    (SURVEY §4.2): CFO of 0.02/fft_len cycles/sample (comm-sim grc
+    `freq_offset`) on every frame and AWGN at ``snr_db`` — the headline
+    CRC count is earned through the full sync/CFO-recovery/equalization
+    chain, not an impairment-free shortcut."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,6 +66,7 @@ def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
     from jrc_tpu.ops import channel
     from jrc_tpu.ops.encoder import make_payload
 
+    cfo = 0.02 * 2 * np.pi / cfg.fft_len  # radians/sample
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         payload = jnp.asarray(make_payload(spec, bytes([2]) + b"bench frame"))
@@ -68,13 +76,15 @@ def build_capture(cfg, spec, n_samples: int, gap: int = 2111):
         frame = np.asarray(
             jax.jit(
                 lambda s: channel.comm_channel(
-                    s, angle_deg=0.0, path_loss=5.0, noise_var=0.0
+                    s, angle_deg=0.0, path_loss=5.0, noise_var=0.0, cfo=cfo
                 )
             )(tx_samples)
         )
     rng = np.random.default_rng(0)
+    noise_var = float(np.mean(np.abs(frame) ** 2)) / 10 ** (snr_db / 10)
     cap = (
-        rng.normal(0, 1e-4, (n_samples, 2)).view(np.complex128)[:, 0]
+        rng.normal(0, np.sqrt(noise_var / 2), (n_samples, 2))
+        .view(np.complex128)[:, 0]
     ).astype(np.complex64)
     pos, n_frames = 500, 0
     while pos + len(frame) < n_samples - 100:
@@ -399,6 +409,7 @@ def worker(kind: str) -> int:
     ):
         res["device"] = str(dev)
         res["n_frames"] = n_frames
+        res["impairments"] = "cfo 0.02/fft_len + awgn 25 dB SNR"
         print(RESULT_TAG + json.dumps(res), flush=True)
     return 0
 
@@ -493,6 +504,7 @@ def main() -> int:
         "frames_per_capture": result["n_frames"],
         "compile_s": round(result["compile_s"], 1),
         "device": result["device"],
+        "impairments": result.get("impairments"),
     }
     if result.get("verified"):
         out["frames_decoded"] = result["n_valid"]
