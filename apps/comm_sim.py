@@ -31,6 +31,17 @@ def main(argv=None):
                    help="insert an NDP sounding frame every N frames")
     p.add_argument("--estimator", choices=["ls", "sta"], default="ls")
     p.add_argument("--soft", action="store_true", help="soft-decision Viterbi")
+    p.add_argument("--udp-in", type=int, default=0, metavar="PORT",
+                   help="take TX payloads from UDP datagrams on this port "
+                        "(packet-generator ingress, README.md:45-46): first "
+                        "byte = packet type (1=NDP, 2=DATA, "
+                        "lib/stream_encoder_impl.cc:109-118). Overrides the "
+                        "canned payloads and --ndp-every")
+    p.add_argument("--udp-out", type=int, default=0, metavar="PORT",
+                   help="forward CRC-clean decoded payloads to this UDP port")
+    p.add_argument("--udp-timeout", type=float, default=10.0,
+                   help="seconds to wait for the next --udp-in datagram "
+                        "before ending the session")
     p.add_argument("--comm-log", default="comm_log.csv")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -61,11 +72,42 @@ def main(argv=None):
     mean_steering = None
     seed = 1
 
+    udp_src = udp_sink = None
+    spec_cache = {}
+    if args.udp_in:
+        from jrc_tpu.io.udp import UdpPduSource
+
+        udp_src = UdpPduSource(args.udp_in)
+        print(f"udp-in: listening on {udp_src.addr[0]}:{udp_src.addr[1]}")
+    if args.udp_out:
+        from jrc_tpu.io.udp import UdpPduSink
+
+        udp_sink = UdpPduSink(args.udp_out)
+
     for i in range(args.frames):
-        is_ndp = args.ndp_every > 0 and i % args.ndp_every == args.ndp_every - 1 \
-            and args.steering != "none"
-        spec = ndp_spec if is_ndp else data_spec
-        pl = ndp_payload if is_ndp else payload
+        if udp_src is not None:
+            pdu = udp_src.get(timeout=args.udp_timeout)
+            if pdu is None:
+                print("udp-in: idle timeout, ending session")
+                break
+            if not (1 <= len(pdu) <= cfg.max_payload):
+                print(f"udp-in: dropping {len(pdu)}-byte datagram")
+                continue
+            is_ndp = int(pdu[0]) == 1 and args.steering != "none"
+            key = (int(pdu[0]) == 1, len(pdu))
+            if key not in spec_cache:  # one compile per (type, length)
+                spec_cache[key] = FrameSpec(
+                    MCS.QPSK_1_2 if key[0] else MCS[args.mcs],
+                    payload_bytes=len(pdu),
+                    packet_type=PacketType.NDP if key[0] else PacketType.DATA)
+            spec = spec_cache[key]
+            pl = jnp.asarray(make_payload(spec, bytes(pdu)))
+        else:
+            is_ndp = args.ndp_every > 0 \
+                and i % args.ndp_every == args.ndp_every - 1 \
+                and args.steering != "none"
+            spec = ndp_spec if is_ndp else data_spec
+            pl = ndp_payload if is_ndp else payload
         res = comm_link.loopback(
             cfg, spec, pl, key=jax.random.PRNGKey(i), angle_deg=args.angle,
             path_loss=args.path_loss, snr_db=args.snr_db, cfo=cfo,
@@ -84,8 +126,14 @@ def main(argv=None):
         stats = dec_ops.update_stats(stats, jnp.float32(crc))
         per = float(np.asarray(dec_ops.per_percent(stats)))
         log.log_frame(crc, int(spec.packet_type), snr, snr_d, per)
+        if udp_sink is not None and crc:
+            udp_sink.send(np.asarray(res.decoded.payload))
         print(f"frame {i}: crc={crc} snr={snr:.1f} dB snr_data={snr_d:.1f} dB per={per:.1f}%")
     print(f"log -> {args.comm_log}")
+    if udp_src is not None:
+        udp_src.close()
+    if udp_sink is not None:
+        udp_sink.close()
     return 0
 
 

@@ -46,6 +46,18 @@ def main(argv=None):
                    help="send this many back-to-back frames per dwell burst "
                         "and estimate target velocity from the slow-time "
                         "Doppler across them (0 = off)")
+    p.add_argument("--udp-in", type=int, default=0, metavar="PORT",
+                   help="take TX payloads from UDP datagrams on this port "
+                        "(the reference's packet-generator ingress, port "
+                        "52001 — README.md:45-46): first byte = packet type "
+                        "(1=NDP, 2=DATA, lib/stream_encoder_impl.cc:109-118)."
+                        " Overrides the canned payloads and --ndp-every")
+    p.add_argument("--udp-out", type=int, default=0, metavar="PORT",
+                   help="forward each CRC-clean decoded payload to this UDP "
+                        "port (socket_pdu egress)")
+    p.add_argument("--udp-timeout", type=float, default=10.0,
+                   help="seconds to wait for the next --udp-in datagram "
+                        "before ending the session")
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--comm-log", default="comm_log.csv")
     p.add_argument("--heatmap", default="jrc_range_angle.png")
@@ -79,6 +91,44 @@ def main(argv=None):
     data_payload = jnp.asarray(make_payload(data_spec, bytes([2]) + b"jrc data"))
     ndp_payload = jnp.asarray(make_payload(ndp_spec, bytes([1])))
 
+    udp_src = udp_sink = None
+    spec_cache = {}
+    if args.udp_in:
+        from jrc_tpu.io.udp import UdpPduSource
+
+        udp_src = UdpPduSource(args.udp_in)
+        print(f"udp-in: listening on {udp_src.addr[0]}:{udp_src.addr[1]}")
+    if args.udp_out:
+        from jrc_tpu.io.udp import UdpPduSink
+
+        udp_sink = UdpPduSink(args.udp_out)
+
+    def next_frame(d):
+        """(spec, payload, is_ndp) for frame d — from the UDP ingress when
+        enabled (one frame per datagram, type byte honored, exact length
+        like the reference's pdu_len tag), else the canned schedule."""
+        if udp_src is None:
+            is_ndp = (args.ndp_every > 0
+                      and d % args.ndp_every == args.ndp_every - 1)
+            return ((ndp_spec, ndp_payload, True) if is_ndp
+                    else (data_spec, data_payload, False))
+        pdu = udp_src.get(timeout=args.udp_timeout)
+        if pdu is None or not (1 <= len(pdu) <= cfg.max_payload):
+            if pdu is not None:
+                print(f"udp-in: dropping {len(pdu)}-byte datagram "
+                      f"(valid: 1..{cfg.max_payload})")
+                return next_frame(d)
+            return None  # idle timeout: packet generator stopped
+        is_ndp = int(pdu[0]) == 1
+        key = (is_ndp, len(pdu))
+        if key not in spec_cache:  # one compile per (type, length)
+            spec_cache[key] = FrameSpec(
+                MCS.QPSK_1_2 if is_ndp else MCS[args.mcs],
+                payload_bytes=len(pdu),
+                packet_type=PacketType.NDP if is_ndp else PacketType.DATA)
+        spec = spec_cache[key]
+        return spec, jnp.asarray(make_payload(spec, bytes(pdu))), is_ndp
+
     # the I/O boundary: simulated radio + the reference's work-loop cadence
     session = TrxSession(
         SimTrx(cfg, targets, hw_delay_samps=args.num_delay_samps),
@@ -103,9 +153,11 @@ def main(argv=None):
     n_data = 0
     now = 0.0
     for d in range(args.frames):
-        is_ndp = args.ndp_every > 0 and d % args.ndp_every == args.ndp_every - 1
-        spec = ndp_spec if is_ndp else data_spec
-        pl = ndp_payload if is_ndp else data_payload
+        nxt = next_frame(d)
+        if nxt is None:
+            print("udp-in: idle timeout, ending session")
+            break
+        spec, pl, is_ndp = nxt
         k_tx, k_comm = jax.random.split(jax.random.PRNGKey(d))
 
         # TX side: steer from the current feedback state, build the frame
@@ -196,6 +248,8 @@ def main(argv=None):
             [rx_wave, cx.zeros(2 * cfg.n_sync_words * cfg.sym_len)], axis=-1)
         comm = comm_link.rx_chain(cfg, spec, rx_wave)
         crc = bool(np.asarray(comm.decoded.crc_ok))
+        if udp_sink is not None and crc:
+            udp_sink.send(np.asarray(comm.decoded.payload))
         if is_ndp and bool(np.asarray(comm.eq.sig_ok)):
             # NDP sounding feedback (chan_est.csv -> precoder in the reference)
             state = state._replace(
@@ -227,6 +281,10 @@ def main(argv=None):
           f"missed={session.n_missed}; "
           f"PER: {100.0 * (1 - n_ok / max(n_data, 1)):.1f}% "
           f"over {n_data} DATA frames")
+    if udp_src is not None:
+        udp_src.close()
+    if udp_sink is not None:
+        udp_sink.close()
     return 0
 
 
