@@ -18,7 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--iq", help="complex64 IQ capture file")
+    p.add_argument("--iq", help="IQ capture file (complex64, or interleaved "
+                               "int16 with --iq-format sc16)")
+    p.add_argument("--iq-format", choices=["fc32", "sc16"], default="fc32",
+                   help="file sample format: fc32 = complex64 (the "
+                        "reference's host format), sc16 = interleaved int16 "
+                        "re,im (what radios record natively)")
+    p.add_argument("--wire", choices=["fc32", "sc16"], default="fc32",
+                   help="ring + host->device transfer format; sc16 halves "
+                        "bytes/sample with on-device dequantization")
     p.add_argument("--demo", action="store_true")
     p.add_argument("--mcs", default="QPSK_3_4")
     p.add_argument("--payload-bytes", type=int, default=64)
@@ -93,7 +101,10 @@ def main(argv=None):
             pos += len(w) + 3000
             k += 1
     elif args.iq:
-        cap = np.fromfile(args.iq, np.complex64)
+        if args.iq_format == "sc16":
+            cap = np.fromfile(args.iq, np.int16).reshape(-1, 2)
+        else:
+            cap = np.fromfile(args.iq, np.complex64)
     else:
         p.error("--iq or --demo required")
         return 2
@@ -104,13 +115,19 @@ def main(argv=None):
 
         sink = UdpPduSink(args.udp_out)
 
+    sc16_input = cap.dtype == np.int16
+    wire = "sc16" if sc16_input else args.wire
     streamer = BlockStreamer(
         cfg, None if args.dynamic else spec, block_len=args.block_len,
-        max_frames=32, max_payload=args.max_payload)
+        max_frames=32, max_payload=args.max_payload, wire=wire)
     n_ndp = 0
     chunk = 1 << 15
     for i in range(0, len(cap), chunk):
-        streamer.push(cap[i : i + chunk])
+        part = cap[i : i + chunk]
+        if sc16_input:
+            streamer.push_sc16(part)  # native int16 straight onto the wire
+        else:
+            streamer.push(part)
         for res in streamer.process_available():
             n_ndp += _report(res, sink, args.chan_est_csv)
     for res in streamer.flush():
