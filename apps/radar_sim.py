@@ -34,6 +34,11 @@ def main(argv=None):
                    help=">1: CLEAN-style multi-target detection (subtract "
                         "each peak's rank-1 row/column outer product from "
                         "the complex map, repeat)")
+    p.add_argument("--cfar", action="store_true",
+                   help="adaptive CA-CFAR detection along range per angle "
+                        "column (beyond the reference's fixed threshold): "
+                        "reports the detection-mask summary per dwell")
+    p.add_argument("--cfar-pfa", type=float, default=1e-4)
     p.add_argument("--radar-log", default="radar_log.csv")
     p.add_argument("--capture-csv", default=None,
                    help="append each dwell's radar channel tensor in the "
@@ -103,6 +108,15 @@ def main(argv=None):
                           f"{float(np.asarray(multi.range_m)[k]):.2f} m "
                           f"angle={float(np.asarray(multi.angle_deg)[k]):.1f} deg "
                           f"snr={float(np.asarray(multi.snr_db)[k]):.1f} dB")
+        if args.cfar:
+            cf = radar.cfar_detect(
+                cx.abs2(res.ra_map), guard=(8, 0), train=(24, 0),
+                pfa=args.cfar_pfa)
+            n_cf = int(np.asarray(cf.n_detections))
+            dets = np.asarray(cf.detections)
+            hit = bool(dets[int(est.range_idx), int(est.angle_idx)])
+            print(f"  cfar: {n_cf} cells above the adaptive threshold "
+                  f"(pfa={args.cfar_pfa:g}); peak bin detected={hit}")
         if det:
             log.log_detection(float(est.power), float(est.snr_db),
                               float(est.range_m), float(est.angle_deg))

@@ -514,6 +514,8 @@ def main() -> int:
             out["dynamic_sps"] = round(result["dynamic_sps"], 1)
             out["dynamic_crc_ok"] = result["dynamic_crc_ok"]
             out["dynamic_correct"] = result["dynamic_correct"]
+            # throughput scales with this envelope (PERF_NOTES.md)
+            out["dynamic_max_payload"] = DYN_MAX_PAYLOAD
         for k in ("radar_dwell_hz", "jrc_loop_hz", "radar_detected",
                   "jrc_crc_ok", "sustained_sps", "sustained_crc_ok",
                   "sustained_frames_expected", "sustained_ok", "h2d_MBps",

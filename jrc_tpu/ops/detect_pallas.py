@@ -33,6 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+# Chunk size is NOT latency-critical: a 512/1024/2048-row sweep on the TPU
+# measured 2.4-2.5 ms for the front end regardless (the kernel is VPU-bound
+# on the ~30 elementwise passes of the moving-sum chains, 3.5 Gsps — ~18%
+# of full-chain time), so the smallest VMEM footprint wins.
 CHUNK_ROWS = 512
 
 

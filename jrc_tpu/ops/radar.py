@@ -288,6 +288,65 @@ def range_angle_estimate_multi(
     return stacked._replace(detected=keep)
 
 
+class CfarResult(NamedTuple):
+    detections: jax.Array  # (n_range, n_angle) bool detection mask
+    threshold: jax.Array  # (n_range, n_angle) per-cell adaptive threshold
+    noise: jax.Array  # (n_range, n_angle) per-cell noise estimate
+    n_detections: jax.Array  # scalar
+
+
+def cfar_detect(
+    power: jax.Array,  # (n_range, n_angle) |map|² power
+    *,
+    guard: tuple[int, int] = (4, 2),
+    train: tuple[int, int] = (12, 6),
+    pfa: float = 1e-4,
+) -> CfarResult:
+    """2-D cell-averaging CFAR over the range-angle power map — beyond the
+    reference, whose detector is a single global peak against a fixed
+    SNR threshold with one noise patch
+    (lib/range_angle_estimator_impl.cc:137-253). CA-CFAR adapts the
+    threshold per cell to the LOCAL clutter/noise floor, so detection
+    probability is held across range-dependent path loss and the false-alarm
+    rate is pinned at ``pfa`` regardless of the absolute noise level —
+    multiple targets at very different ranges detect simultaneously where a
+    fixed threshold must choose between them.
+
+    The training-ring mean is two box filters (train+guard window minus
+    guard window) computed with ``lax.reduce_window`` — fused XLA window
+    reductions, no data-dependent control flow. Edge cells normalize by
+    their true training-cell count. The CA-CFAR scale for N training cells
+    is the exact exponential-noise relation ``α = N·(pfa^(-1/N) − 1)``,
+    applied per cell with its local N.
+    """
+    power = jnp.asarray(power)
+    gr, ga = guard
+    tr, ta = train
+    outer = (2 * (gr + tr) + 1, 2 * (ga + ta) + 1)
+    inner = (2 * gr + 1, 2 * ga + 1)
+
+    def box(x, win):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, window_dimensions=win,
+            window_strides=(1, 1), padding="SAME")
+
+    ones = jnp.ones_like(power)
+    ring_sum = box(power, outer) - box(power, inner)
+    ring_n = box(ones, outer) - box(ones, inner)
+    ring_n = jnp.maximum(ring_n, 1.0)
+    noise = ring_sum / ring_n
+    # exact CA-CFAR scale per cell (local training count at the edges)
+    alpha = ring_n * (pfa ** (-1.0 / ring_n) - 1.0)
+    threshold = alpha * noise
+    det = power > threshold
+    return CfarResult(
+        detections=det,
+        threshold=threshold,
+        noise=noise,
+        n_detections=jnp.sum(det.astype(jnp.int32)),
+    )
+
+
 class PeakDetection(NamedTuple):
     freq: jax.Array
     phase: jax.Array

@@ -166,6 +166,41 @@ def test_streamer_push_sc16_rejected_on_fc32_wire():
         s.push_sc16(np.zeros((4, 2), np.int16))
 
 
+def test_ring16_threaded_producer_consumer():
+    """SPSC contract under real concurrency: a producer thread pushes
+    native sc16 while the consumer pops blocks; no sample is reordered or
+    corrupted (drops allowed, only whole push tails)."""
+    import threading
+
+    r = IQRing16(1 << 12)
+    assert r.native
+    n_total = 200_000
+    src = np.empty((n_total, 2), np.int16)
+    src[:, 0] = np.arange(n_total, dtype=np.int64) % 997
+    src[:, 1] = 1
+    done = threading.Event()
+
+    def producer():
+        pos = 0
+        while pos < n_total:
+            pos += r.push_sc16(src[pos : pos + 300]) or 0
+            # ring full → spin briefly (bounded-loss contract tested
+            # separately; here we want every sample through)
+        done.set()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = []
+    while not (done.is_set() and r.available() < 256 + 64):
+        b = r.pop_block(256, 64, 0)
+        if b is not None:
+            got.append(b[:256].copy())
+    t.join()
+    out = np.concatenate(got) if got else np.empty((0, 2), np.int16)
+    np.testing.assert_array_equal(out, src[: len(out)])
+    assert len(out) >= n_total - 256 - 64  # only the un-popped tail remains
+
+
 def test_dequant_precision():
     """Quantize→dequantize is within one LSB of the float samples (the
     '12-bit precision' contract: int16 wire error ≤ 2^-15 ≪ 2^-12)."""
