@@ -34,6 +34,12 @@ def main(argv=None):
                    help=">1: CLEAN-style multi-target detection (subtract "
                         "each peak's rank-1 row/column outer product from "
                         "the complex map, repeat)")
+    p.add_argument("--window-range", choices=["hann", "hamming", "blackman"],
+                   default=None,
+                   help="taper the range aperture (folded into the constant "
+                        "DFT matrix, zero runtime cost): lower sidelobe "
+                        "floor for weak-target work; default None = "
+                        "reference-parity untapered imaging")
     p.add_argument("--cfar", action="store_true",
                    help="adaptive CA-CFAR detection along range per angle "
                         "column (beyond the reference's fixed threshold): "
@@ -86,7 +92,7 @@ def main(argv=None):
         res = radar_chain.radar_frame(
             cfg, spec, payload, targets, key=jax.random.PRNGKey(d),
             noise_var=args.noise_var, snr_threshold_db=args.snr_threshold,
-            background=bg,
+            background=bg, window_range=args.window_range,
         )
         if args.background_removal:
             bg = res.background

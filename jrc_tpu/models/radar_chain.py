@@ -38,6 +38,7 @@ def radar_frame(
     noise_var: float = 0.0,
     interp_factor_range: int = 8,
     interp_factor_angle: int = 16,
+    window_range: str | None = None,
     snr_threshold_db: float = 15.0,
     background: radar.BackgroundState | None = None,
     use_radar_streams: bool = False,
@@ -96,7 +97,8 @@ def radar_frame(
     else:
         background = radar.init_background(8, cfg.n_virtual, cfg.fft_len)
 
-    ra = radar.range_angle_map(h, interp_factor_range, interp_factor_angle)
+    ra = radar.range_angle_map(h, interp_factor_range, interp_factor_angle,
+                               window_range=window_range)
     est = radar.range_angle_estimate(
         ra,
         jnp.asarray(radar.range_axis(cfg.fft_len, cfg.sample_rate,
