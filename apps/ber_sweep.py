@@ -40,7 +40,8 @@ def main(argv=None):
     for mcs in mcs_list:
         spec = FrameSpec(mcs, payload_bytes=args.payload_bytes,
                          packet_type=PacketType.DATA)
-        payload = jnp.asarray(make_payload(spec, bytes([2]) + b"ber sweep " * 6))
+        filler = (bytes([2]) + b"ber sweep " * 6)[: spec.payload_bytes]
+        payload = jnp.asarray(make_payload(spec, filler))
         pts = evaluation.link_curve(cfg, spec, payload, args.snrs,
                                     n_frames=args.frames, soft=args.soft)
         results[mcs.name] = pts
