@@ -191,24 +191,47 @@ class SimTrx(TrxBackend):
 
 
 class FileTrx(TrxBackend):
-    """Record TX bursts and replay RX captures from complex64 files."""
+    """Record TX bursts and replay RX captures from IQ files.
 
-    def __init__(self, cfg, rx_path: str | None = None, tx_path: str | None = None):
+    ``fmt="fc32"`` (default) is the reference's complex64 host format;
+    ``fmt="sc16"`` reads/writes interleaved int16 (re, im) — UHD's native
+    OTW format, half the bytes — with the standard ±1.0 ↔ ±32767 scaling.
+    """
+
+    def __init__(self, cfg, rx_path: str | None = None, tx_path: str | None = None,
+                 fmt: str = "fc32"):
+        if fmt not in ("fc32", "sc16"):
+            raise ValueError(f"fmt must be 'fc32' or 'sc16', got {fmt!r}")
         self.cfg = cfg
         self.rx_path = rx_path
         self.tx_path = tx_path
+        self.fmt = fmt
         self._rx_data = None
         self._pos = 0
         if rx_path is not None:
-            flat = np.fromfile(rx_path, np.complex64)
+            if fmt == "sc16":
+                q = np.fromfile(rx_path, np.int16).astype(np.float32) / 32767.0
+                flat = (q[0::2] + 1j * q[1::2]).astype(np.complex64)
+            else:
+                flat = np.fromfile(rx_path, np.complex64)
             self._rx_data = flat.reshape(cfg.n_rx, -1, order="F") if flat.size else None
         self._t = 0.0
+
+    def _write(self, fh, samples: np.ndarray) -> None:
+        # channel-interleaved on disk (column-major, like the replay reshape)
+        x = np.ascontiguousarray(np.asarray(samples, np.complex64).T)
+        if self.fmt == "sc16":
+            q = np.clip(np.rint(x.view(np.float32) * 32767.0),
+                        -32767, 32767).astype(np.int16)
+            q.tofile(fh)
+        else:
+            x.tofile(fh)
 
     def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
         n = n_rx_samples or tx_samples.shape[-1]
         if self.tx_path is not None:
             with open(self.tx_path, "ab") as fh:
-                np.asarray(tx_samples, np.complex64).T.tofile(fh)
+                self._write(fh, tx_samples)
         if self._rx_data is None:
             rx = np.zeros((self.cfg.n_rx, n), np.complex64)
         else:
@@ -224,5 +247,5 @@ class FileTrx(TrxBackend):
         """TX-only frames are still recorded (the reference transmits them)."""
         if self.tx_path is not None:
             with open(self.tx_path, "ab") as fh:
-                np.asarray(tx_samples, np.complex64).T.tofile(fh)
+                self._write(fh, tx_samples)
         self._t += tx_samples.shape[-1] / self.cfg.sample_rate

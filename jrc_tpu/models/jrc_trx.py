@@ -142,6 +142,7 @@ def jrc_radar_rx(
     background_record: bool = True,
     interp_factor_range: int = 8,
     interp_factor_angle: int = 16,
+    window_range: str | None = None,
     snr_threshold_db: float = 15.0,
 ):
     """Radar leg of one dwell from an aligned RX burst: demodulate the echo,
@@ -162,7 +163,9 @@ def jrc_radar_rx(
     h_clean, background = radar.background_removal(
         state.background, h_radar, record=background_record
     )
-    ra_map = radar.range_angle_map(h_clean, interp_factor_range, interp_factor_angle)
+    ra_map = radar.range_angle_map(h_clean, interp_factor_range,
+                                   interp_factor_angle,
+                                   window_range=window_range)
     est = radar.range_angle_estimate(
         ra_map,
         jnp.asarray(radar.range_axis(cfg.fft_len, cfg.sample_rate,

@@ -107,6 +107,23 @@ def test_file_trx_roundtrip(tmp_path):
     np.testing.assert_array_equal(stored, tx)
 
 
+def test_file_trx_sc16_roundtrip(tmp_path):
+    """sc16 record/replay at the TRX file boundary: TX recorded as int16
+    interleaved (UHD's OTW format), replayed as an RX capture within one
+    quantization LSB."""
+    rng = np.random.default_rng(0)
+    n = 600
+    tx = (rng.normal(0, 0.2, (CFG.n_rx, n, 2)) @ [1, 1j]).astype(np.complex64)
+    path = str(tmp_path / "cap.sc16")
+    rec = FileTrx(CFG, tx_path=path, fmt="sc16")
+    rec.burst(tx)
+    q = np.fromfile(path, np.int16)
+    assert q.size == CFG.n_rx * n * 2  # 4 B/sample on disk
+    play = FileTrx(CFG, rx_path=path, fmt="sc16")
+    res = play.burst(np.zeros((CFG.n_tx, n), np.complex64), n)
+    np.testing.assert_allclose(res.rx, tx, atol=1.5 / 32767.0)
+
+
 def test_udp_pdu_loopback():
     src = UdpPduSource(port=52710)
     sink = UdpPduSink(port=52710)
