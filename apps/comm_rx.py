@@ -24,9 +24,13 @@ def main(argv=None):
                    help="file sample format: fc32 = complex64 (the "
                         "reference's host format), sc16 = interleaved int16 "
                         "re,im (what radios record natively)")
-    p.add_argument("--wire", choices=["fc32", "sc16"], default="fc32",
+    p.add_argument("--wire", choices=["fc32", "sc16"], default=None,
                    help="ring + host->device transfer format; sc16 halves "
-                        "bytes/sample with on-device dequantization")
+                        "bytes/sample with on-device dequantization. "
+                        "Default: fc32 for complex64 input, sc16 for sc16 "
+                        "files (which stay quantized end-to-end; an "
+                        "explicit --wire fc32 with an sc16 file is "
+                        "rejected rather than silently overridden)")
     p.add_argument("--demo", action="store_true")
     p.add_argument("--mcs", default="QPSK_3_4")
     p.add_argument("--payload-bytes", type=int, default=64)
@@ -116,7 +120,11 @@ def main(argv=None):
         sink = UdpPduSink(args.udp_out)
 
     sc16_input = cap.dtype == np.int16
-    wire = "sc16" if sc16_input else args.wire
+    if sc16_input and args.wire == "fc32":
+        p.error("--wire fc32 with an sc16 capture: the sc16 path stays "
+                "quantized end-to-end; convert the file first if you need "
+                "the float wire")
+    wire = "sc16" if sc16_input else (args.wire or "fc32")
     streamer = BlockStreamer(
         cfg, None if args.dynamic else spec, block_len=args.block_len,
         max_frames=32, max_payload=args.max_payload, wire=wire)
@@ -152,6 +160,10 @@ def _report(res, sink, chan_est_csv=None) -> int:
     crc = np.asarray(res.crc_ok)
     snr = np.asarray(res.snr_db)
     payload = np.asarray(res.payload)
+    # dynamic results carry SIG-discovered lengths; static payloads are
+    # already exact — egress must honor the pdu_len contract either way
+    plen = (np.asarray(res.payload_len) if hasattr(res, "payload_len")
+            else np.full(len(valid), payload.shape[-1]))
     mcs = np.asarray(res.mcs) if hasattr(res, "mcs") else None
     n_ndp = 0
     for k in np.nonzero(valid)[0]:
@@ -163,7 +175,7 @@ def _report(res, sink, chan_est_csv=None) -> int:
         print(f"  frame @ {int(np.asarray(res.start)[k])}: crc={bool(crc[k])} "
               f"snr={float(snr[k]):.1f} dB{extra}")
         if sink is not None and crc[k]:
-            sink.send(payload[k])
+            sink.send(payload[k][: int(plen[k])])
         if chan_est_csv and is_ndp:
             from jrc_tpu.utils.logging import write_chan_est_csv
 

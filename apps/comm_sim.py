@@ -86,13 +86,16 @@ def main(argv=None):
 
     for i in range(args.frames):
         if udp_src is not None:
-            pdu = udp_src.get(timeout=args.udp_timeout)
+            # loop until a VALID datagram so drops don't consume --frames
+            # iterations (same contract as jrc_trx)
+            while True:
+                pdu = udp_src.get(timeout=args.udp_timeout)
+                if pdu is None or 1 <= len(pdu) <= cfg.max_payload:
+                    break
+                print(f"udp-in: dropping {len(pdu)}-byte datagram")
             if pdu is None:
                 print("udp-in: idle timeout, ending session")
                 break
-            if not (1 <= len(pdu) <= cfg.max_payload):
-                print(f"udp-in: dropping {len(pdu)}-byte datagram")
-                continue
             is_ndp = int(pdu[0]) == 1 and args.steering != "none"
             key = (int(pdu[0]) == 1, len(pdu))
             if key not in spec_cache:  # one compile per (type, length)

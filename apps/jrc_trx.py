@@ -112,13 +112,14 @@ def main(argv=None):
                       and d % args.ndp_every == args.ndp_every - 1)
             return ((ndp_spec, ndp_payload, True) if is_ndp
                     else (data_spec, data_payload, False))
-        pdu = udp_src.get(timeout=args.udp_timeout)
-        if pdu is None or not (1 <= len(pdu) <= cfg.max_payload):
-            if pdu is not None:
-                print(f"udp-in: dropping {len(pdu)}-byte datagram "
-                      f"(valid: 1..{cfg.max_payload})")
-                return next_frame(d)
-            return None  # idle timeout: packet generator stopped
+        while True:
+            pdu = udp_src.get(timeout=args.udp_timeout)
+            if pdu is None:
+                return None  # idle timeout: packet generator stopped
+            if 1 <= len(pdu) <= cfg.max_payload:
+                break
+            print(f"udp-in: dropping {len(pdu)}-byte datagram "
+                  f"(valid: 1..{cfg.max_payload})")
         is_ndp = int(pdu[0]) == 1
         key = (is_ndp, len(pdu))
         if key not in spec_cache:  # one compile per (type, length)

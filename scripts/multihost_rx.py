@@ -69,13 +69,21 @@ def main(argv=None) -> int:
         tx.samples, angle_deg=0.0, path_loss=5.0, noise_var=0.0))
 
     # identical capture on every rank (deterministic), one frame per device
-    # block — several straddle a block boundary, incl. the process boundary
+    # block. ODD blocks place the frame so its tail crosses into the next
+    # block (the trigger stays owned by block d): decoding those frames
+    # REQUIRES the ppermute'd right-halo — including, at d = devices/proc−1,
+    # halo data shipped across the process boundary over DCN. A broken
+    # cross-process halo therefore fails the count assertions below.
     block_len = args.block_len
     rng = np.random.default_rng(0)
     cap = (rng.normal(0, 1e-4, (n_global * block_len, 2)) @ [1, 1j]
            ).astype(np.complex64)
+    assert block_len > 2 * len(frame)
     for d in range(n_global):
-        pos = d * block_len + (d * 977) % (block_len - len(frame) - 8)
+        if d % 2 == 1 and d < n_global - 1:
+            pos = (d + 1) * block_len - len(frame) // 3  # straddles d → d+1
+        else:
+            pos = d * block_len + (d * 977) % (block_len - len(frame) - 8)
         cap[pos : pos + len(frame)] += frame
 
     mesh = pstream.make_time_mesh(n_global)
