@@ -125,6 +125,18 @@ def test_sharded_dynamic_mixed_traffic():
         CFG, mesh, jnp.asarray(cap), max_frames_per_block=4, max_payload=64)
     assert int(np.asarray(res.n_frames)) == n_dev
     assert int(np.asarray(res.n_crc_ok)) == n_dev
+    # the NDP sounding estimate rides the sharded surface: exactly one
+    # chan_est_ok slot (device 5's NDP frame), and its estimate carries the
+    # broadside channel (flat phase across TX at the active carriers)
+    ce_ok = np.asarray(res.chan_est_ok)
+    assert int(ce_ok.sum()) == 1
+    blk, slot = map(int, np.argwhere(ce_ok)[0])
+    assert blk == 5
+    h = np.asarray(res.chan_est)[blk, slot]  # (fft_len, n_tx)
+    active = np.asarray(CFG.active_carrier_idx)
+    assert np.abs(h[active]).min() > 0.1  # live on active carriers
+    ph = np.angle(h[active, 1:] * np.conj(h[active, :-1]))
+    assert np.abs(ph).max() < 0.1  # angle 0 ⇒ no inter-antenna phase ramp
     hits0 = pstream._build_sharded_rx.cache_info().hits
     pstream.sharded_rx_dynamic(
         CFG, mesh, jnp.asarray(cap), max_frames_per_block=4, max_payload=64)
