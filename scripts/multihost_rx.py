@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--block-len", type=int, default=16384)
     p.add_argument("--dynamic", action="store_true",
                    help="also run the SIG-driven dynamic executor")
+    p.add_argument("--bench", type=int, default=0, metavar="BATCHES",
+                   help="after the correctness pass, time the jitted step "
+                        "(16 iters/batch, medians reported per rank) — the "
+                        "N>=2-hosts measurement point of BASELINE.md")
     args = p.parse_args(argv)
 
     import jax
@@ -106,6 +110,41 @@ def main(argv=None) -> int:
 
     print(f"MULTIHOST_OK rank={args.process_id} n_frames={n_frames} "
           f"crc_ok={n_ok} dynamic={bool(args.dynamic)}", flush=True)
+
+    if args.bench:
+        import statistics
+        import time
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jrc_tpu.ops import cplx as cx
+
+        # time the cached jitted step on pre-staged input (the same
+        # methodology as scripts/measure_scaling.py): per-rank process CPU
+        # time is additive across this rank's device threads, so
+        # cpu_ms / devices_per_process is the per-device work INCLUDING the
+        # cross-process (DCN) halo leg
+        jitted = pstream._build_sharded_rx(
+            cfg, spec, mesh, block_len, 4, 0.6, 10, "ls", False, 0)
+        xs = jax.device_put(cx.from_complex(jnp.asarray(cap)),
+                            NamedSharding(mesh, P("time")))
+        jax.block_until_ready(jitted(xs))
+        n_iter = 16
+        t_b, c_b = [], []
+        for _ in range(args.bench):
+            t0, c0 = time.time(), time.process_time()
+            for _ in range(n_iter):
+                out = jitted(xs)
+            jax.block_until_ready(out[-1])
+            t_b.append((time.time() - t0) / n_iter)
+            c_b.append((time.process_time() - c0) / n_iter)
+        t_med = statistics.median(t_b)
+        c_med = statistics.median(c_b)
+        sps = n_global * block_len / t_med
+        print(f"MULTIHOST_BENCH rank={args.process_id} "
+              f"t_ms={t_med * 1e3:.2f} cpu_ms={c_med * 1e3:.2f} "
+              f"cpu_per_device_ms={c_med * 1e3 / n_local:.2f} "
+              f"samples_per_s={sps:.0f}", flush=True)
+
     jax.distributed.shutdown()
     return 0
 
