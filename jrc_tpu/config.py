@@ -225,6 +225,26 @@ class OFDMConfig:
     def __post_init__(self):
         if self.n_ltf is None:
             object.__setattr__(self, "n_ltf", self.n_tx)
+        if not 1 <= self.n_tx <= 4:
+            raise ValueError(f"n_tx must be 1..4 (P_ltf is 4x4), got {self.n_tx}")
+        if self.n_ltf < self.n_tx:
+            raise ValueError(
+                f"n_ltf ({self.n_ltf}) must be >= n_tx ({self.n_tx}) to "
+                "separate the TX channels")
+        # every LTF-based estimator (equalizer NDP/DATA, radar channel
+        # separation) assumes the P_ltf rows are orthogonal; the reference's
+        # 4x4 matrix sliced to [:n_tx, :n_ltf] is orthogonal for n_tx in
+        # {1, 2, 4} but NOT for n_tx = 3 (rows 0 and 2 correlate) — reject
+        # rather than silently leak ~1/3-level cross-TX energy into every
+        # channel estimate
+        p = np.array(
+            [[1, -1, 1, 1], [1, 1, -1, 1], [1, 1, 1, -1], [-1, 1, 1, 1]],
+            np.float32)[: self.n_tx, : self.n_ltf]
+        gram = p @ p.T
+        if not np.allclose(gram, np.diag(np.diag(gram))):
+            raise ValueError(
+                f"P_ltf rows are not orthogonal for n_tx={self.n_tx}, "
+                f"n_ltf={self.n_ltf}; use n_tx in {{1, 2, 4}} or n_ltf=4")
 
     # ---- sizes -----------------------------------------------------------
     @property
@@ -358,17 +378,29 @@ class OFDMConfig:
 
     # ---- radar axes ------------------------------------------------------
     def range_axis(self, interp_factor_range: int = 8) -> np.ndarray:
-        """Range bins in meters (radar-sim grc ``range_axis``)."""
-        c = 299792458.0
-        n = self.fft_len * interp_factor_range
-        r_max = c * self.fft_len / (2 * self.sample_rate)
-        return np.linspace(0.0, r_max, n, endpoint=False)
+        """Range bins in meters — delegates to :func:`ops.radar.range_axis`
+        (one convention everywhere: the reference flowgraph's
+        inclusive-endpoint linspace; see that docstring for the 0.2%
+        spacing note)."""
+        from jrc_tpu.ops.radar import range_axis as _ra
+
+        return _ra(self.fft_len, self.sample_rate, interp_factor_range)
 
     def angle_axis(self, interp_factor_angle: int = 16) -> np.ndarray:
-        """Angle bins in degrees over the virtual array (radar-sim grc ``angle_axis``)."""
+        """Angle bins in degrees over the virtual array.
+
+        ``arcsin(2/n · (k − n/2))`` — slot k of the shifted angle FFT holds
+        spatial frequency bin k − n/2 (cplx.dft_mats shift_out), so this is
+        the axis the periodogram actually lands on. Deliberate deviation:
+        the reference's GUI axis adds +0.5 bin (radar-sim grc
+        ``angle_axis``), which biases every reported azimuth by half an
+        interpolated bin (~+0.45° at the default grid, measured on clean
+        point targets); with this axis the angle error is zero-mean
+        quantization.
+        """
         n = self.n_virtual * interp_factor_angle
         k = np.arange(n)
-        return np.degrees(np.arcsin(np.clip(2.0 / n * (k - n / 2 + 0.5), -1, 1)))
+        return np.degrees(np.arcsin(np.clip(2.0 / n * (k - n / 2), -1, 1)))
 
 
 DEFAULT_CONFIG = OFDMConfig()

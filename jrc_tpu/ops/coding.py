@@ -38,27 +38,30 @@ def _lfsr_feedback(state: int) -> int:
 
 @lru_cache(maxsize=1)
 def _scrambler_tables():
-    """(cycle[127] uint8, phase[128] int32).
+    """(cycle[127] uint8, phase[128] int32, state_at[127] int32).
 
     ``cycle`` is the periodic LFSR output; ``phase[s]`` is the index into the
-    cycle at which the output of an LFSR seeded with state ``s`` starts.
+    cycle at which the output of an LFSR seeded with state ``s`` starts;
+    ``state_at[i]`` inverts it (the state whose phase is ``i``).
     ``phase[0] = 0`` is a dummy (all-zero state never occurs for seeds 1..127).
     """
     cycle = np.zeros(127, np.uint8)
     phase = np.zeros(128, np.int32)
+    state_at = np.zeros(127, np.int32)
     state = 1
     for i in range(127):
         phase[state] = i
+        state_at[i] = state
         fb = _lfsr_feedback(state)
         cycle[i] = fb
         state = ((state << 1) & 0x7E) | fb
     assert state == 1
-    return cycle, phase
+    return cycle, phase, state_at
 
 
 def scramble_sequence(seed, n: int) -> jax.Array:
     """LFSR output bits of length ``n`` for (possibly traced) ``seed`` ∈ 1..127."""
-    cycle, phase = _scrambler_tables()
+    cycle, phase, _ = _scrambler_tables()
     cycle = jnp.asarray(cycle, jnp.uint8)
     phase_t = jnp.asarray(phase, jnp.int32)
     p = phase_t[jnp.asarray(seed, jnp.int32)]
@@ -82,7 +85,7 @@ def _descramble_basis(n: int) -> np.ndarray:
     e_j = bit j of the MSB-first packed state. The LFSR is linear over
     GF(2), so the sequence for any state is the XOR of the rows whose state
     bits are set."""
-    cycle, phase = _scrambler_tables()
+    cycle, phase, _ = _scrambler_tables()
     basis = np.zeros((7, n), np.uint8)
     for j in range(7):
         s = 1 << (6 - j)  # MSB-first packing
@@ -112,6 +115,26 @@ def descramble(bits: jax.Array) -> jax.Array:
         seq = seq ^ (bits[..., j : j + 1] & jnp.asarray(basis[j]))
     head = jnp.zeros_like(bits[..., :7])
     return jnp.concatenate([head, jnp.bitwise_xor(bits[..., 7:], seq)], axis=-1)
+
+
+def recover_scrambler_seed(bits: jax.Array) -> jax.Array:
+    """Initial LFSR state (the TX ``scrambler_seed``) from the first 7
+    received data bits.
+
+    The SERVICE field is all-zero pre-scramble, so the first 7 received
+    bits are the LFSR's first 7 OUTPUTS. Packing them MSB-first (the
+    reference's register reconstruction,
+    lib/stream_decoder_impl.cc:409-433) yields the register state AFTER
+    those 7 shifts — the cycle phase must step back 7 to report the state
+    the TX actually seeded (its per-frame incrementing seed,
+    lib/stream_encoder_impl.cc:171-175). Garbage input maps to some state
+    in 1..127; gate on CRC as always.
+    """
+    _, phase, state_at = _scrambler_tables()
+    weights = 1 << jnp.arange(6, -1, -1, dtype=jnp.int32)
+    s7 = jnp.sum(bits[..., :7].astype(jnp.int32) * weights, axis=-1)
+    p0 = (jnp.asarray(phase)[s7] - 7) % 127
+    return jnp.asarray(state_at)[p0]
 
 
 # ---------------------------------------------------------------------------

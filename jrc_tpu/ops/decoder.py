@@ -12,7 +12,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from jrc_tpu.config import OFDMConfig
+
 from jrc_tpu.ops import coding, modulation
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.ops.viterbi import hard_to_values, viterbi_decode
@@ -52,8 +52,7 @@ def frame_from_bits(spec: FrameSpec, decoded: jax.Array) -> DecodedFrame:
     (descramble → CRC-32 residue; second half of :func:`decode_frame`)."""
     pp = spec.packet_params
     descrambled = coding.descramble(decoded)
-    weights = (1 << jnp.arange(6, -1, -1, dtype=jnp.int32))
-    seed = jnp.sum(decoded[..., :7].astype(jnp.int32) * weights, axis=-1)
+    seed = coding.recover_scrambler_seed(decoded)
 
     n_bytes = pp.data_size_byte  # payload + 4 CRC
     data_bits = descrambled[..., 16 : 16 + 8 * n_bytes]

@@ -15,8 +15,8 @@ Layout: the stream is viewed as (rows, 128) with 128 consecutive samples
 per row — one row per candidate segment (sync.SEG == 128). A trailing-window
 shift by k becomes two circular rolls + a lane select; moving sums build by
 binary doubling. Each grid step processes CHUNK_ROWS rows, fetching a left
-margin by DMA sized to the trigger chain's worst-case lookback (432 samples
-→ 4 rows for the default fft_len=64 numerology; derived per parameters) —
+margin by DMA sized to the trigger chain's worst-case lookback (365 samples
+→ 3 rows for the default fft_len=64 numerology; derived per parameters) —
 so no cross-chunk carry is needed.
 
 CPU / interpreter fallback: the XLA formulation in ops/sync.py.
@@ -44,9 +44,9 @@ def _margin_rows(lag: int, win: int, pwin: int, max_peak_distance: int) -> int:
     """DMA margin (rows) covering the trigger chain's worst-case lookback:
     the sparsify stage reads the mask back max_peak_distance−1 samples, the
     mask's peaks_in_window another max_peak_distance−1, the autocorrelation
-    max(win+lag, pwin)−1 more. 4 rows (512 samples ≥ 432) for the default
-    fft_len=64 numerology; derived, not fixed, so larger numerologies
-    (e.g. fft_len=128 → 733 samples) stay correct."""
+    max(win+lag, pwin)−1 more. 3 rows (384 samples ≥ 365 = 2·159 + 48 − 1)
+    for the default fft_len=64 numerology; derived, not fixed, so larger
+    numerologies (e.g. fft_len=128 → 733 samples → 6 rows) stay correct."""
     lookback = 2 * (max_peak_distance - 1) + max(win + lag, pwin) - 1
     return -(-lookback // LANE)
 

@@ -230,7 +230,7 @@ def rx_frame_dynamic_values_from_syms(
     y_sig = grid[2] * cx.expj(-beta)
     didx = jnp.asarray(cfg.data_carrier_idx)
     z_sig = y_sig[didx] / h_legacy[didx]
-    rate_bitmap, ptype, length, sig_ok = equalizer.decode_sig(cfg, z_sig)
+    rate_bitmap, ptype, length, sig_ok = equalizer.decode_sig(z_sig)
     mcs_idx = jnp.asarray(_RATE_LUT)[jnp.clip(rate_bitmap, 0, 15)]
     sig_ok = sig_ok & jnp.asarray(_RATE_VALID)[jnp.clip(rate_bitmap, 0, 15)]
     length = jnp.clip(length, 4, max_payload + 4)

@@ -79,7 +79,7 @@ def common_phase_error(cfg: OFDMConfig, y: cx.CArray, chan: cx.CArray, ref_pilot
     return beta, est
 
 
-def decode_sig(cfg: OFDMConfig, z_sig: cx.CArray):
+def decode_sig(z_sig: cx.CArray):
     """Equalized SIG data carriers → (rate_bitmap, ptype, length, ok)."""
     bits = (cx.real(z_sig) > 0).astype(jnp.uint8)  # BPSK decision
     decoded = viterbi_decode(hard_to_values(bits), n_out=24)
@@ -222,7 +222,7 @@ def equalize_frame(
     y_sig = grid[2] * cx.expj(-beta)
     didx = jnp.asarray(cfg.data_carrier_idx)
     z_sig = y_sig[didx] / h_legacy[didx]
-    rate_bitmap, ptype, length, sig_ok = decode_sig(cfg, z_sig)
+    rate_bitmap, ptype, length, sig_ok = decode_sig(z_sig)
 
     # MIMO-LTF block: symbols 3 .. 3+n_ltf
     y_ltf = grid[3 : 3 + cfg.n_ltf]

@@ -31,7 +31,7 @@ import numpy as np
 
 from jrc_tpu.config import MCS, OFDMConfig, PacketType, RATE_FIELD
 from jrc_tpu.ops import cplx as cx
-from jrc_tpu.ops import coding, modulation
+from jrc_tpu.ops import modulation
 from jrc_tpu.ops.encoder import FrameSpec
 from jrc_tpu.ops.ofdm import allocate_carriers
 

@@ -111,3 +111,19 @@ def test_packet_params_match_reference_math():
     assert p.n_data_bits == p.n_ofdm_sym * 72
     assert p.n_pad_bits == p.n_data_bits - (16 + 8 * 104 + 6)
     assert p.n_encoded_bits == p.n_ofdm_sym * 96
+
+
+def test_recover_scrambler_seed_all_seeds():
+    """The reported seed is the TX's INITIAL LFSR state for every valid
+    seed (the recovered register must be stepped back 7 outputs — the
+    naive MSB-first packing is the state AFTER the first 7 shifts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jrc_tpu.ops.coding import recover_scrambler_seed, scramble
+
+    zeros = jnp.zeros((127, 16), jnp.uint8)
+    seeds = jnp.arange(1, 128, dtype=jnp.int32)
+    scrambled = jax.vmap(scramble)(zeros, seeds)
+    got = recover_scrambler_seed(scrambled)
+    np.testing.assert_array_equal(np.asarray(got), np.arange(1, 128))

@@ -310,3 +310,18 @@ def test_window_is_parity_neutral_by_default():
     b = np.asarray(radar.range_angle_map(
         cx.from_complex(jnp.asarray(h)), window_range=None, window_angle=None))
     np.testing.assert_array_equal(a, b)
+
+
+def test_angle_axis_unbiased():
+    """The axis matches the shifted angle DFT's bin mapping (slot k holds
+    bin k − n/2): clean point-target angle errors are zero-mean
+    quantization, not one-sided (the reference GUI's +0.5-bin offset is a
+    deliberate deviation documented in config.angle_axis)."""
+    errs = []
+    for az in (-40.0, -25.0, -10.0, 0.0, 10.0, 25.0, 40.0):
+        res = _run(channel.Targets((12.0,), (0.0,), (az,), (10.0,)))
+        errs.append(float(res.estimate.angle_deg) - az)
+    errs = np.asarray(errs)
+    bin_deg = 0.9  # ~interp bin at broadside
+    assert np.abs(errs).max() < bin_deg, errs
+    assert abs(errs.mean()) < 0.35 * bin_deg, errs  # zero-mean, not biased
