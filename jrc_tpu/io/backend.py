@@ -228,7 +228,9 @@ class FileTrx(TrxBackend):
             x.tofile(fh)
 
     def burst(self, tx_samples: np.ndarray, n_rx_samples: int | None = None) -> BurstResult:
-        n = n_rx_samples or tx_samples.shape[-1]
+        # `is not None`, not falsy-or: an explicit 0-sample RX request must
+        # not silently become a tx-length capture (SimTrx semantics)
+        n = n_rx_samples if n_rx_samples is not None else tx_samples.shape[-1]
         if self.tx_path is not None:
             with open(self.tx_path, "ab") as fh:
                 self._write(fh, tx_samples)

@@ -140,10 +140,12 @@ class BlockStreamer:
         self._device = device
         self._depth = max(1, pipeline_depth)
         self._pending: deque = deque()
+        self._flushed = False
         self.stats = StreamStats()
 
     def push(self, samples: np.ndarray) -> int:
         """Push complex64 samples (quantized on the way in on an sc16 wire)."""
+        self._flushed = False
         return self.ring.push(samples)
 
     def push_sc16(self, samples: np.ndarray) -> int:
@@ -151,6 +153,7 @@ class BlockStreamer:
         path for radio drivers that deliver sc16 natively. sc16 wire only."""
         if self.wire != "sc16":
             raise ValueError("push_sc16 requires wire='sc16'")
+        self._flushed = False
         return self.ring.push_sc16(samples)
 
     def _stage(self, blk: np.ndarray):
@@ -206,13 +209,27 @@ class BlockStreamer:
             yield self._finalize(self._pending.popleft())
 
     def flush(self) -> Iterator[block_rx.BlockRxResult]:
-        """Zero-pad the tail so trailing partial data forms a final block.
+        """Zero-pad the tail so ALL trailing data forms final block(s).
 
         Drains complete superblocks FIRST — computing the pad before
         draining would miss it when more than one superblock is buffered
-        and silently drop the residual tail."""
+        and silently drop the residual tail. When the residual extends past
+        one superblock's ownership span (into what would be its halo), a
+        SECOND zero superblock flushes that remainder too — a single pad
+        left up to ``halo`` trailing samples undecoded. Idempotent: a
+        repeat flush with nothing new pushed is a no-op (no zero-block
+        kernel dispatches)."""
         yield from self.process_available()
-        missing = self.span + self.halo - self.ring.available()
-        if 0 < missing <= self.span + self.halo:
-            self.ring.push(np.zeros(missing, np.complex64))
-        yield from self.process_available()
+        if self._flushed:
+            return
+        avail = self.ring.available()
+        if avail > 0:
+            self.ring.push(np.zeros(self.span + self.halo - avail, np.complex64))
+            yield from self.process_available()
+            if avail > self.span:
+                # the real tail reached into the padded block's halo region
+                # (owned by the NEXT block): one more zero span drains it —
+                # halo < span, so two blocks always suffice
+                self.ring.push(np.zeros(self.span, np.complex64))
+                yield from self.process_available()
+        self._flushed = True

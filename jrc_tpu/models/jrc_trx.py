@@ -212,6 +212,7 @@ def jrc_step(
     scrambler_seed=1,
     interp_factor_range: int = 8,
     interp_factor_angle: int = 16,
+    window_range: str | None = None,
     snr_threshold_db: float = 15.0,
 ) -> JRCStepResult:
     """One JRC dwell: steer → TX → (echo → radar update) ∥ (comm RX → decode).
@@ -251,6 +252,7 @@ def jrc_step(
         background_record=background_record,
         interp_factor_range=interp_factor_range,
         interp_factor_angle=interp_factor_angle,
+        window_range=window_range,
         snr_threshold_db=snr_threshold_db,
     )
 

@@ -40,12 +40,23 @@ def frame_window_samples(cfg: OFDMConfig, spec: FrameSpec) -> int:
 
 
 def left_history_samples(cfg: OFDMConfig) -> int:
-    """Samples of left-neighbor history needed so a plateau that begins in the
-    previous block is seen with its true run length (no re-trigger): the STF
-    region plus the autocorrelation/power windows, rounded up to the
-    detector's candidate-segment size (sync.SEG) so the flat-stream batched
-    detector can align block ownership to segment boundaries."""
-    need = 2 * cfg.sym_len + 2 * cfg.fft_len
+    """Samples of left-neighbor history needed so a plateau that begins in
+    the previous block is seen with its true trigger (no re-trigger at the
+    block head): the full trigger-chain lookback — the sparsify stage reads
+    the trigger mask back ``max_peak_distance−1`` samples, the mask's
+    peaks-in-window another ``max_peak_distance−1``, and the autocorrelation
+    / power moving sums ``max(win+lag, pwin)−1`` more (the same derivation
+    as detect_pallas._margin_rows) — rounded up to the detector's
+    candidate-segment size (sync.SEG) so the flat-stream batched detector
+    can align block ownership to segment boundaries. 384 samples for the
+    default fft_len=64 numerology; 768 for fft_len=128 (the previous
+    ``2·sym_len + 2·fft_len`` form under-provisioned there, so a boundary-
+    straddling plateau could re-trigger as a duplicate frame)."""
+    mpd = 2 * cfg.sym_len
+    lag = cfg.fft_len // 4
+    win = cfg.fft_len // 2
+    pwin = int(1.5 * win)
+    need = 2 * (mpd - 1) + max(win + lag, pwin) - 1
     return -(-need // sync.SEG) * sync.SEG
 
 
@@ -76,8 +87,11 @@ def _rx_block_prelude(
     soft: bool,
 ) -> _PreDecoded:
     n_sym = 2 + 1 + cfg.n_ltf + spec.n_ofdm_sym
+    # own_window: history/halo triggers must not evict owned frames from
+    # the max_frames slot budget (they still drive ignore_gap suppression)
     det = sync.detect_frames(
-        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks,
+        max_frames=max_frames, own_window=(own_lo, block_len),
     )
     owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
     starts = jnp.where(owned, det.start, 0)
@@ -356,7 +370,8 @@ def rx_block_dynamic(
     MCS/length/type (mixed-traffic captures: interleaved MCS, NDP + DATA)."""
     x = cx.from_complex(x)
     det = sync.detect_frames(
-        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks, max_frames=max_frames
+        cfg, x, threshold=threshold, min_n_peaks=min_n_peaks,
+        max_frames=max_frames, own_window=(own_lo, block_len),
     )
     owned = det.valid & (det.start >= own_lo) & (det.start < own_lo + block_len)
     starts = jnp.where(owned, det.start, 0)

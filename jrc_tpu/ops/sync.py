@@ -145,6 +145,7 @@ def detect_frames(
     max_frames: int = 8,
     ignore_gap: int | None = None,
     strict_runs: bool = False,
+    own_window: tuple[int, int] | None = None,
 ) -> Detections:
     """Find STF plateaus in a 1-D sample block.
 
@@ -201,6 +202,14 @@ def detect_frames(
 
     _, keep = jax.lax.scan(keep_scan, jnp.int32(-(10**9)), cand)
     kept_idx = jnp.where(keep, cand, n)
+    if own_window is not None:
+        # ``own_window=(lo, length)``: report only triggers inside the
+        # caller's ownership span, BEFORE truncating to max_frames —
+        # history/halo candidates still drive the suppression scan above
+        # but must not evict owned frames from the slot budget
+        w_lo, w_len = own_window
+        kept_idx = jnp.where(
+            (kept_idx >= w_lo) & (kept_idx < w_lo + w_len), kept_idx, n)
     starts = jnp.sort(kept_idx)[:max_frames]
     valid = starts < n
     starts = jnp.where(valid, starts, -1)
@@ -324,9 +333,15 @@ def detect_frames_stream(
 
     keep = jax.vmap(per_block)(cand)
     kept_idx = jnp.where(keep, cand, n)
-    starts = jnp.sort(kept_idx, axis=-1)[:, :max_frames]  # (n_blocks, mf)
+    # drop non-owned candidates BEFORE truncating to max_frames: the
+    # ignore_gap pre-span candidates exist only to drive the suppression
+    # scan — sorted first, they would otherwise evict owned frames from a
+    # block at max_frames capacity (silent frame loss)
     lo = own_lo + jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * block_len
-    valid = (starts < n) & (starts >= lo) & (starts < lo + block_len)
+    kept_idx = jnp.where((kept_idx >= lo) & (kept_idx < lo + block_len),
+                         kept_idx, n)
+    starts = jnp.sort(kept_idx, axis=-1)[:, :max_frames]  # (n_blocks, mf)
+    valid = starts < n
     starts = jnp.where(valid, starts, -1)
     cfo = cx.angle(a[jnp.clip(starts, 0, n - 1)]) / (cfg.fft_len // 4)
     cfo = jnp.where(valid, cfo, 0.0).astype(jnp.float32)

@@ -22,9 +22,14 @@ def init_distributed(coordinator: str | None = None,
     if coordinator is None:
         return
     if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        # leave None when unset: jax.distributed auto-detects the world
+        # size on managed platforms (Cloud TPU) — forcing 1 would make
+        # every host a rank-0 single-process world
+        num_processes = int(env) if env is not None else None
     if process_id is None:  # explicit rank 0 must not fall through to env
-        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env is not None else None
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -32,9 +37,10 @@ def init_distributed(coordinator: str | None = None,
     )
 
 
-def time_mesh(n_devices: int | None = None) -> Mesh:
+def time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D mesh over time blocks (sequence-parallel streaming)."""
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.asarray(devices), ("time",))
 
 

@@ -40,10 +40,11 @@ from jrc_tpu.ops.encoder import FrameSpec
 
 
 def make_time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the time axis."""
-    if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
-    return Mesh(np.asarray(devices), ("time",))
+    """1-D mesh over the time axis (alias of :func:`parallel.mesh.time_mesh`
+    — one constructor, no drift)."""
+    from jrc_tpu.parallel.mesh import time_mesh
+
+    return time_mesh(n_devices, devices)
 
 
 class ShardedRxResult(NamedTuple):

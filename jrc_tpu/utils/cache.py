@@ -37,11 +37,22 @@ def machine_fingerprint() -> str:
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
-def enable_compile_cache(root: str = "/root/repo/.jax_cache") -> str:
+def default_cache_root() -> str:
+    """Cache root: ``JRC_JAX_CACHE`` env override, else ``.jax_cache`` next
+    to the package's repo checkout (portable — no hardcoded machine path)."""
+    env = os.environ.get("JRC_JAX_CACHE")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, ".jax_cache")
+
+
+def enable_compile_cache(root: str | None = None) -> str:
     """Point jax at a machine-specific persistent compile cache dir."""
     import jax
 
-    path = os.path.join(root, machine_fingerprint())
+    path = os.path.join(root or default_cache_root(), machine_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -93,7 +93,12 @@ def read_chan_est_csv(path: str, fft_len: int, n_tx: int) -> np.ndarray:
             if ":" not in line:
                 continue
             idx_s, rest = line.split(":", 1)
-            sc = int(idx_s)
+            try:
+                sc = int(idx_s)
+            except ValueError:
+                continue
+            if not 0 <= sc < fft_len:
+                continue  # malformed/truncated line: skip, don't wrap or raise
             cells = [c for c in rest.strip().split(";") if c]
             for j, c in enumerate(cells[:n_tx]):
                 re, im = c.strip("()\n ").split(",")

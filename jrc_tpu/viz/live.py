@@ -36,6 +36,10 @@ class _LiveBase:
         self.n_drawn = 0
         self._last_draw = -float("inf")
         self._lock = threading.Lock()
+        # serializes _render only: pyplot + the shared tmp file are not
+        # thread-safe, and a slow render can outlive its interval — a
+        # separate lock keeps push() from ever blocking behind matplotlib
+        self._render_lock = threading.Lock()
 
     def tick(self, now: float | None = None) -> bool:
         """Redraw if the refresh interval has elapsed; returns True when a
@@ -56,7 +60,8 @@ class _LiveBase:
             # push() never blocks behind matplotlib
             self._last_draw = now
             self.n_drawn += 1
-        self._render(snap)
+        with self._render_lock:
+            self._render(snap)
         return True
 
     def run(self, stop: threading.Event, poll_s: float = 0.02):

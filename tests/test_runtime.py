@@ -180,3 +180,41 @@ def test_streamer_flush_drains_multiple_buffered_superblocks():
     s.push(cap)
     results = list(s.flush())  # no process_available() beforehand
     assert s.stats.crc_ok == nf, (s.stats.crc_ok, nf)
+
+
+def test_streamer_flush_tail_in_halo_region_and_idempotent():
+    """Two flush guarantees: (1) a frame whose trigger lands PAST the final
+    padded block's ownership span (in what would be its halo) still decodes
+    — one pad alone left up to `halo` trailing samples undecoded; (2) a
+    repeat flush with nothing new pushed is a no-op (no zero-block kernel
+    dispatches)."""
+    import jax.numpy as jnp
+
+    from jrc_tpu.config import MCS, OFDMConfig, PacketType
+    from jrc_tpu.io.stream import BlockStreamer
+    from jrc_tpu.models import comm_link
+    from jrc_tpu.ops import channel
+    from jrc_tpu.ops.encoder import FrameSpec, make_payload
+
+    cfg = OFDMConfig()
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=48, packet_type=PacketType.DATA)
+    payload = jnp.asarray(make_payload(spec, bytes([2]) + b"halo tail"))
+    frame = np.asarray(channel.comm_channel(
+        comm_link.tx_frame(cfg, spec, payload, 1).samples,
+        angle_deg=0.0, path_loss=5.0, noise_var=0.0))
+
+    block_len = 1 << 13
+    s = BlockStreamer(cfg, spec, block_len=block_len, max_frames=8,
+                      ring_capacity=8 * block_len)
+    # trigger just past the span; total capture length in (span, span+halo)
+    pos = s.span + 16
+    n = pos + len(frame) + 8
+    assert s.span < n < s.span + s.halo  # the scenario under test
+    cap = np.zeros(n, np.complex64)
+    cap[pos : pos + len(frame)] = frame
+    s.push(cap)
+    list(s.flush())
+    assert s.stats.crc_ok == 1, s.stats
+    blocks_after_first_flush = s.stats.blocks
+    list(s.flush())  # idempotent: no extra zero-block dispatches
+    assert s.stats.blocks == blocks_after_first_flush

@@ -84,3 +84,43 @@ def test_rx_block_single_call():
     res = streaming.rx_block(CFG, SPEC, x, len(cap), max_frames=16)
     assert int(res.valid.sum()) == len(true_starts)
     assert int(res.crc_ok.sum()) == len(true_starts)
+
+
+def test_owned_frames_not_evicted_by_preblock_trigger():
+    """A trigger in the ignore_gap span just before a block's ownership
+    window must not consume one of that block's max_frames slots: with the
+    block at capacity, every owned frame still decodes (the pre-span
+    candidates exist only to drive re-trigger suppression). Regression for
+    the sort-then-mask eviction bug, on both the flat-stream and the
+    windowed per-block detector paths."""
+    spec = FrameSpec(MCS.QPSK_1_2, payload_bytes=16, packet_type=PacketType.DATA)
+    payload = jnp.asarray(
+        __import__("jrc_tpu.ops.encoder", fromlist=["make_payload"])
+        .make_payload(spec, bytes([2]) + b"evict"))
+    tx = comm_link.tx_frame(CFG, spec, payload, 1)
+    frame = np.asarray(channel.comm_channel(tx.samples, angle_deg=0.0,
+                                            path_loss=5.0, noise_var=0.0))
+    block_len, n_blocks, mf = 8192, 2, 2
+    halo = streaming.frame_window_samples(CFG, spec) + CFG.fft_len
+    cap = np.zeros(n_blocks * block_len + halo, np.complex64)
+    # block 0: one frame whose trigger sits within ignore_gap (=640) of the
+    # block-1 boundary; block 1: exactly max_frames frames
+    positions = [block_len - 400, block_len + 700, block_len + 2500]
+    for pos in positions:
+        cap[pos : pos + len(frame)] += frame
+
+    for bl in (block_len, block_len + 8):  # flat path / windowed vmap path
+        if bl != block_len:
+            cap2 = np.zeros(n_blocks * bl + halo, np.complex64)
+            cap2[: len(cap)] = cap
+        else:
+            cap2 = cap
+        res = streaming.scan_rx(CFG, spec, jnp.asarray(cap2), bl, n_blocks,
+                                max_frames_per_block=mf)
+        valid = np.asarray(res.valid)
+        assert int(valid.sum()) == 3, (bl, valid)
+        assert np.asarray(res.crc_ok)[valid].all(), bl
+        got = sorted(np.asarray(res.start)[valid].tolist())
+        # the trigger fires a few tens of samples into the STF plateau
+        for g, want in zip(got, positions):
+            assert 0 <= g - want <= CFG.fft_len, (bl, got)
