@@ -43,6 +43,14 @@ def main(argv=None):
     p.add_argument("--block-len", type=int, default=1 << 16)
     p.add_argument("--udp-out", type=int, default=0,
                    help="forward decoded payloads to this UDP port")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="decode the whole capture in one time-block sharded "
+                        "step over an N-device jax mesh (ppermute halo "
+                        "exchange; BASELINE config 5) instead of the "
+                        "streaming ring pipeline. Requires N available "
+                        "devices (use --cpu with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "or jax_num_cpu_devices for virtual devices)")
     p.add_argument("--chan-est-csv", default=None,
                    help="write each received NDP frame's MIMO channel "
                         "estimate here in the reference chan_est.csv format "
@@ -119,6 +127,9 @@ def main(argv=None):
 
         sink = UdpPduSink(args.udp_out)
 
+    if args.mesh:
+        return _run_sharded(args, cfg, spec, cap, sink)
+
     sc16_input = cap.dtype == np.int16
     if sc16_input and args.wire == "fc32":
         p.error("--wire fc32 with an sc16 capture: the sc16 path stays "
@@ -147,6 +158,55 @@ def main(argv=None):
         print(f"chan_est: {n_ndp} NDP sounding update(s) -> "
               f"{args.chan_est_csv}" if n_ndp else
               "chan_est: no NDP frame received; nothing written")
+    return 0
+
+
+def _run_sharded(args, cfg, spec, cap, sink) -> int:
+    """One sharded step over the whole capture (config 5 from the CLI)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jrc_tpu.models import streaming
+    from jrc_tpu.parallel import streaming as pstream
+    from jrc_tpu.runtime import SC16_SCALE
+
+    if cap.dtype == np.int16:  # sc16 file: dequantize for the sharded step
+        cap = ((cap.astype(np.float32) / SC16_SCALE) @ [1, 1j]
+               ).astype(np.complex64)
+    n_dev = args.mesh
+    if len(jax.devices()) < n_dev:
+        raise SystemExit(
+            f"--mesh {n_dev}: only {len(jax.devices())} devices available")
+    mesh = pstream.make_time_mesh(n_dev)
+    # pad to an equal per-device split whose block exceeds halo + history
+    if args.dynamic:
+        halo = (streaming.frame_window_samples_dynamic(cfg, args.max_payload)
+                + cfg.fft_len)
+    else:
+        halo = streaming.frame_window_samples(cfg, spec) + cfg.fft_len
+    need = max(len(cap), n_dev * 2 * (halo + cfg.fft_len))
+    n = -(-need // n_dev) * n_dev
+    cap = np.concatenate([cap, np.zeros(n - len(cap), np.complex64)])
+    if args.dynamic:
+        res = pstream.sharded_rx_dynamic(
+            cfg, mesh, jnp.asarray(cap), max_frames_per_block=32,
+            max_payload=args.max_payload)
+    else:
+        res = pstream.sharded_rx(cfg, spec, mesh, jnp.asarray(cap),
+                                 max_frames_per_block=32)
+    n_ndp = 0
+    for blk in range(n_dev):
+        # slice one device block out of every per-slot field (the last two
+        # fields are the psum-reduced scalars)
+        per_block = jax.tree.map(lambda a, b=blk: a[b], tuple(res)[:-2])
+        n_ndp += _report(type(res)(*per_block, res.n_frames, res.n_crc_ok),
+                         sink, args.chan_est_csv)
+    print(f"mesh={n_dev} frames={int(np.asarray(res.n_frames))} "
+          f"crc_ok={int(np.asarray(res.n_crc_ok))}")
+    if args.chan_est_csv and n_ndp:
+        print(f"chan_est: {n_ndp} NDP sounding update(s) -> "
+              f"{args.chan_est_csv}")
     return 0
 
 

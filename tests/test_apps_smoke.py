@@ -57,3 +57,19 @@ def test_comm_sim_app_sta_soft(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("crc=True") == 3
+
+
+def test_comm_rx_mesh_mode(capsys):
+    """--mesh N: the whole demo capture decodes in one time-block sharded
+    step over a virtual mesh (config 5 from the CLI), static and dynamic."""
+    from apps import comm_rx
+
+    for extra in ([], ["--dynamic", "--max-payload", "96"]):
+        rc = comm_rx.main(["--cpu", "--demo", "--mesh", "4",
+                           "--block-len", "16384"] + extra)
+        assert rc == 0
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if l.startswith("mesh=")][-1]
+        frames = int(line.split("frames=")[1].split()[0])
+        crc_ok = int(line.split("crc_ok=")[1].split()[0])
+        assert frames == crc_ok > 0, line
