@@ -26,9 +26,11 @@ to produce efficiency > 1 and negative halo shares):
   jitted executable on an input already placed with its P('time')
   sharding; per-call host staging (re/im split + device_put) amortizes
   differently with N and contaminated r4's per-device CPU accounting.
-* **Medians ± IQR** over ``N_BATCH`` independent batches of ``N_ITER``
-  steps (r4 used best-of-3). Spread is propagated into an efficiency error
-  bar; points whose error bars straddle 1.0 are expected at N=1 only.
+* **Medians ± IQR over POOLED passes.** ``PASSES`` interleaved sweeps,
+  each mesh size in a fresh subprocess per pass, all per-batch samples
+  pooled per size (r4 used best-of-3 in one process; subprocess-level
+  variance — turbo state, page cache, compile residue — dominated
+  single-pass medians). Spread is propagated into an efficiency error bar.
 * **Thread discipline.** Multi-threaded Eigen kernels are disabled in the
   children (`--xla_cpu_multi_thread_eigen=false`) and dispatch is
   synchronous (`jax_cpu_enable_async_dispatch=False`), so each device's
@@ -175,29 +177,65 @@ def run_one(n_dev: int) -> int:
         "frames": 3 * n_dev,
         "batches": N_BATCH,
         "iters_per_batch": N_ITER,
+        # raw per-batch samples so the driver can POOL across passes
+        # (subprocess-level variance — turbo state, page cache, compile
+        # residue — dominates single-process medians)
+        "t_batches_ms": [round(t * 1e3, 3) for t in t_batches],
+        "cpu_batches_ms": [round(c * 1e3, 3) for c in c_batches],
+        "cpu_standalone_batches_ms": [round(c * 1e3, 3) for c in cs_batches],
     }))
     return 0
 
 
+PASSES = 3  # interleaved sweeps: fresh subprocess per (pass, N), samples
+#             POOLED per N — subprocess-level variance (turbo, page cache)
+#             dominated single-pass medians
+
+
 def main() -> int:
-    rows = []
     env = dict(os.environ)
     flags = env.get("XLA_FLAGS", "")
     # one thread per device program: CPU-time attribution is per-device
     env["XLA_FLAGS"] = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
-    for n in (1, 2, 4, 8):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", str(n)],
-            capture_output=True, text=True, timeout=1800, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(json.dumps({"n_devices": n, "error": p.stderr[-300:]}))
-            continue
-        row = json.loads(line[-1])
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    sizes = (1, 2, 4, 8)
+    pooled = {n: {"t": [], "cpu": [], "standalone": []} for n in sizes}
+    for _pass in range(PASSES):
+        for n in sizes:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", str(n)],
+                capture_output=True, text=True, timeout=1800, env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(json.dumps({"n_devices": n, "error": p.stderr[-300:]}))
+                continue
+            row = json.loads(line[-1])
+            pooled[n]["t"] += row["t_batches_ms"]
+            pooled[n]["cpu"] += row["cpu_batches_ms"]
+            pooled[n]["standalone"] += row["cpu_standalone_batches_ms"]
+            print(json.dumps({k: row[k] for k in (
+                "n_devices", "cpu_sharded_ms", "t_sharded_ms")}), flush=True)
+
+    rows = []
+    for n in sizes:
+        t_med, t_iqr = _med_iqr(pooled[n]["t"])
+        c_med, c_iqr = _med_iqr(pooled[n]["cpu"])
+        cs_med, cs_iqr = _med_iqr(pooled[n]["standalone"])
+        rows.append({
+            "n_devices": n,
+            "t_sharded_ms": round(t_med, 2),
+            "t_sharded_iqr_ms": round(t_iqr, 2),
+            "cpu_sharded_ms": round(c_med, 2),
+            "cpu_sharded_iqr_ms": round(c_iqr, 2),
+            "cpu_standalone_ms": round(cs_med, 2),
+            "cpu_standalone_iqr_ms": round(cs_iqr, 2),
+            "samples_per_s": round(n * BLOCK_LEN / (t_med / 1e3), 1),
+            "frames": 3 * n,
+            "batches": PASSES * N_BATCH,
+            "iters_per_batch": N_ITER,
+        })
+        print(json.dumps(rows[-1]), flush=True)
 
     base = rows[0]
     base_pd = base["cpu_sharded_ms"] / base["n_devices"]
@@ -237,7 +275,9 @@ def main() -> int:
             "work_efficiency(N) = [cpu_sharded(1)/1] / [cpu_sharded(N)/N]: "
             "median process-CPU-time of the SAME shard_map program (cached "
             "jitted executable, pre-staged P('time') input) at mesh size 1 "
-            "vs N over {b} batches x {i} steps, IQR propagated into "
+            "vs N, POOLED over {p} interleaved passes x {b} batches x {i} "
+            "steps (fresh subprocess per pass+size: subprocess-level "
+            "variance dominated single-pass medians), IQR propagated into "
             "work_efficiency_err — additive across time-shared threads, so "
             "oversubscription of the {c}-core host cannot distort it. "
             "CAVEAT (why raw efficiency can read > 1): at N=1 the XLA:CPU "
@@ -249,7 +289,7 @@ def main() -> int:
             "1 − eff_vs_best upper-bounds the mesh cost. "
             "cpu_standalone_ms sanity-checks the per-device program without "
             "collectives. Wall columns for transparency only."
-        ).format(b=N_BATCH, i=N_ITER, c=os.cpu_count()),
+        ).format(p=PASSES, b=N_BATCH, i=N_ITER, c=os.cpu_count()),
         "efficiency_monotone_within_error": monotone,
         "per_device_cpu_ms_range": [min(pds), max(pds)],
         "per_device_cpu_flat_within_pct": round(
@@ -258,6 +298,16 @@ def main() -> int:
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "SCALING_r05.json")
+    # preserve sections owned by other measurement scripts (multihost)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            for k in ("multihost",):
+                if k in prev:
+                    out[k] = prev[k]
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
