@@ -7,7 +7,6 @@ from __future__ import annotations
 import queue
 import socket
 import threading
-from typing import Callable
 
 import numpy as np
 

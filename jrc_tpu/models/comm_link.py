@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrc_tpu.config import OFDMConfig, PacketType
+from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, equalizer, ofdm, precoder, sync
 
 

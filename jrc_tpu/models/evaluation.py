@@ -16,7 +16,7 @@ import numpy as np
 
 from jrc_tpu.config import OFDMConfig
 from jrc_tpu.models import comm_link
-from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, equalizer, ofdm, sync
+from jrc_tpu.ops import channel, cplx as cx
 from jrc_tpu.ops.encoder import FrameSpec
 
 

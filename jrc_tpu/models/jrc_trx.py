@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jrc_tpu.config import OFDMConfig, PacketType
-from jrc_tpu.ops import channel, cplx as cx, decoder, encoder, ofdm, precoder, radar
+from jrc_tpu.ops import channel, cplx as cx, encoder, ofdm, precoder, radar
 from jrc_tpu.models import comm_link
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrc_tpu.config import OFDMConfig, PacketType
+from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import channel, encoder, ofdm, radar
 from jrc_tpu.models import comm_link
 

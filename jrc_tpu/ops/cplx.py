@@ -28,7 +28,6 @@ The framework-wide convention: **everything on-device is a CArray**; numpy
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrc_tpu.config import MCS, OFDMConfig, PacketType, mcs_tables
+from jrc_tpu.config import MCS, OFDMConfig, mcs_tables
 from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops import coding, equalizer, modulation, ofdm, sync
 from jrc_tpu.ops.precoder import SIG_RATE_TO_MCS

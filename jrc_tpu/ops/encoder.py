@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrc_tpu.config import MCS, MCSParams, OFDMConfig, PacketParams, PacketType
+from jrc_tpu.config import MCS, MCSParams, PacketParams, PacketType
 from jrc_tpu.ops import coding, modulation
 
 

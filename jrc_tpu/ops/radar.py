@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrc_tpu.config import OFDMConfig
 from jrc_tpu.ops import cplx as cx
 from jrc_tpu.ops.channel import C_LIGHT
 

@@ -20,7 +20,6 @@ on-disk formats for interop and offline analysis:
 from __future__ import annotations
 
 import datetime
-import os
 
 import numpy as np
 
