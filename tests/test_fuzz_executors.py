@@ -124,3 +124,82 @@ def test_dynamic_flat_executor_recovers_random_mixed_traffic(seed):
         assert int(mcs_got[k]) == mcs
         assert int(plen[k]) == nbytes
         np.testing.assert_array_equal(payloads[k][:nbytes], ref[:nbytes])
+
+
+@pytest.mark.parametrize("seed,wire", [(0, "fc32"), (1, "sc16"), (2, "sc16")])
+def test_streamer_random_chunking_matches_oracle(seed, wire):
+    """BlockStreamer under adversarial ingest: random chunk sizes, random
+    interleave of push/process, random frame gaps (some straddling
+    superblock boundaries), sc16 wire mixing quantized-complex pushes with
+    native int16 pushes — the decoded (trigger, payload) set must equal the
+    one-shot scan_rx oracle over the same capture."""
+    from jrc_tpu.io.stream import BlockStreamer
+    from jrc_tpu.runtime import SC16_SCALE
+
+    rng = np.random.default_rng(100 + seed)
+    spec = FrameSpec(MCS.QPSK_3_4, payload_bytes=40, packet_type=PacketType.DATA)
+    block_len, n_super = 1 << 13, 3
+    n = block_len * n_super
+    cap = (rng.normal(0, 1e-4, (n, 2)) @ [1, 1j]).astype(np.complex64)
+    placed = []
+    pos = int(rng.integers(300, 1200))
+    while True:
+        payload = bytes([2]) + bytes(rng.integers(0, 256, 39).tolist())
+        pj = jnp.asarray(make_payload(spec, payload))
+        frame = np.asarray(channel.comm_channel(
+            comm_link.tx_frame(CFG, spec, pj, 1 + len(placed) % 127).samples,
+            angle_deg=0.0, path_loss=5.0, noise_var=0.0))
+        if pos + len(frame) >= n - 8:
+            break
+        _place(cap, frame, pos)
+        placed.append((pos, payload))
+        pos += len(frame) + int(rng.integers(700, 2600))
+    assert len(placed) >= 8
+
+    s = BlockStreamer(CFG, spec, block_len=block_len, max_frames=16, wire=wire)
+    got = []
+    blk_idx = [0]  # superblock counter: streamer starts are block-relative
+
+    def drain(it):
+        for res in it:
+            base = blk_idx[0] * s.span
+            blk_idx[0] += 1
+            valid = np.asarray(res.valid)
+            for k in np.nonzero(valid)[0]:
+                assert bool(np.asarray(res.crc_ok)[k])
+                got.append((base + int(np.asarray(res.start)[k]),
+                            bytes(np.asarray(res.payload)[k])))
+
+    i = 0
+    while i < n:
+        m = int(rng.integers(1, 3 * block_len))
+        chunk = cap[i : i + m]
+        if wire == "sc16" and rng.integers(2):
+            q = np.clip(np.rint(chunk.view(np.float32) * SC16_SCALE),
+                        -32767, 32767).astype(np.int16).reshape(-1, 2)
+            s.push_sc16(q)
+        else:
+            s.push(chunk)
+        i += m
+        if rng.integers(2):
+            drain(s.process_available())
+    drain(s.flush())
+    drain(s.flush())  # idempotent: contributes nothing
+
+    # oracle: the flat executor over the same capture in one shot
+    halo = streaming.frame_window_samples(CFG, spec) + CFG.fft_len
+    oracle = streaming.scan_rx(
+        CFG, spec, jnp.asarray(np.concatenate([cap, np.zeros(halo, np.complex64)])),
+        block_len, n_super, max_frames_per_block=16)
+    ov = np.asarray(oracle.valid)
+    want = sorted(
+        (int(np.asarray(oracle.start)[k]), bytes(np.asarray(oracle.payload)[k]))
+        for k in np.nonzero(ov)[0])
+    assert sorted(got) == want
+    # and the oracle itself found every placed frame
+    assert len(want) == len(placed)
+    for (g_pos, g_pl), (w_pos, w_pl) in zip(
+            sorted(got), sorted((p, make_payload(spec, pl).tobytes())
+                                for p, pl in placed)):
+        assert 0 <= g_pos - w_pos <= CFG.fft_len
+        assert g_pl == w_pl
